@@ -1,0 +1,34 @@
+"""lordfast-tpu: a TPU-native long-read alignment engine.
+
+A from-scratch reimplementation of the capabilities of lordFAST
+(vpc-ccg/lordfast; Haghshenas, Sahinalp, Hach, Bioinformatics 2018) built
+on JAX/XLA/Pallas for TPUs:
+
+- FM-index anchoring as batched device kernels (reference:
+  ``src/BWT.cpp:312-394``),
+- window voting / candidate selection as sparse segment ops
+  (``src/LordFAST.cpp:582-904``),
+- seed chaining (dp-n2 / clasp-SOP semantics) as masked scans
+  (``src/Chain.cpp``),
+- Myers bit-parallel and affine-gap banded DP extension as batched
+  device kernels (``lib/edlib/edlib.cpp``, ``lib/bwa/ksw.c``),
+- SAM emission on the host, equivalent to the reference
+  (``src/LordFAST.cpp:318-459``).
+
+Reads are the data-parallel axis across chips of a slice; the index is
+replicated (or sharded for genome-scale deployments).  Host code handles
+sequential I/O (FASTA/FASTQ parsing, index construction, SAM formatting).
+
+64-bit positions: genome coordinates for human-scale references exceed
+2**31 (the concatenated fwd+revcomp text is ~6.2e9 bases), so this package
+enables jax_enable_x64 at import.  All kernels pick int32/int64 explicitly
+based on the index size, so small-genome paths still run in 32-bit.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from .config import LordfastConfig  # noqa: E402,F401

@@ -1,0 +1,110 @@
+"""Single frozen configuration for the whole engine.
+
+Mirrors every knob of the reference CLI (defaults from
+``src/CommandLineParser.cpp:32-55``) plus every compile-time constant that
+the reference hardcodes (``src/LordFAST.cpp:70-92``, ``src/BWT.cpp:34``,
+``src/Common.h:51``, ``src/baseFAST.cpp:59``), plus the TPU-batching knobs
+that have no reference equivalent (padded-shape budgets).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+class ChainAlg:
+    """Chaining algorithm selector (reference ``src/Common.h:56``)."""
+
+    CLASP = "clasp"
+    DPN2 = "dp-n2"
+
+
+@dataclass(frozen=True)
+class LordfastConfig:
+    # ---- reference CLI options (src/CommandLineParser.cpp:32-55) ----
+    min_anchor_len: int = 14        # -k/--minAnchorLen, valid [12..20]
+    sampling_count: int = 1000      # -c/--anchorCount
+    max_map: int = 10               # -n/--numMap
+    min_read_len: int = 1000        # -l/--minReadLen (floor 100)
+    max_ref_hits: int = 1000        # -m/--maxRefHit
+    chain_alg: str = ChainAlg.DPN2  # -a/--chainAlg
+    chain_reward: float = 9.3       # -r/--chainReward
+    chain_penalty: float = 11.4     # -p/--chainPenalty
+    gap_penalty: float = 0.15       # -g/--gapPenalty
+    read_group: str = ""            # -R/--readGroup (escaped line)
+    read_group_id: str = ""         # parsed ID: field
+    no_sam_header: bool = False     # --noSamHeader
+    output_buffer_size: int = 2_000_000  # opt_outputBufferSize
+
+    # ---- reference compile-time constants ----
+    seq_max_length: int = 250_000   # src/Common.h:51
+    chunk_bytes: int = 100_000_000  # src/baseFAST.cpp:59
+    kmer_cache_k: int = 12          # kCache, src/BWT.cpp:34
+    score_ratio: float = 4.0        # scoreRatio, src/LordFAST.cpp:542
+    # ksw scoring (src/LordFAST.cpp:78-85)
+    ksw_match: int = 2
+    ksw_mismatch: int = 5
+    ksw_gap_open: int = 2
+    ksw_gap_extend: int = 1
+    ksw_match_clip: int = 2
+    ksw_mismatch_clip: int = 16
+    ksw_gap_open_clip: int = 0
+    ksw_gap_extend_clip: int = 1
+    # split/clip/inversion thresholds (src/LordFAST.cpp:88-92)
+    clip_len: int = 500
+    clip_sim: float = 0.75
+    split_len: int = 80
+    split_sim: float = 0.40
+    reverse_sim: float = 0.60
+    # end-extension reference slack (src/LordFAST.cpp:1822,2160)
+    end_extension_slack: int = 20
+    # split-escalation ksw_extend2 parameters (src/LordFAST.cpp:1971)
+    split_o_del: int = 8
+    split_e_del: int = 1
+    split_o_ins: int = 4
+    split_e_ins: int = 1
+    split_band: int = 100
+    split_zdrop: int = 200
+    # clip-escalation ksw_extend parameters (src/LordFAST.cpp:1848)
+    clip_band: int = 40
+    clip_zdrop: int = 40
+    # clasp chaining constants (src/Chain.cpp:50-57)
+    clasp_lambda: float = 0.15
+    clasp_epsilon: float = 0.0
+
+    # ---- index layout ----
+    occ_interval: int = 128         # bases per Occ checkpoint block
+    sa_interval: int = 32           # SA sampling interval (bwtindex.c:286)
+
+    # ---- TPU batching budgets (no reference equivalent: the reference
+    # allocates SAMPLING_COUNT*MAX_REF_HITS per-thread seed buffers; we
+    # bound the padded per-read seed tensor instead) ----
+    max_seeds_per_read: int = 4096  # flat (tPos,qPos,len) slots per strand
+    max_candidates: int = 32        # windows chained in fine mode per read
+    max_chain_seeds: int = 512      # seeds entering the chaining DP / window
+    batch_reads: int = 64           # reads per device batch
+    gap_buckets: tuple = (64, 256, 1024, 4096, 16384)  # Myers kernel sizes
+
+    # ---- runtime ----
+    num_threads: int = 0            # host worker threads (0 = auto)
+
+    def validate(self) -> "LordfastConfig":
+        """Range checks mirroring src/CommandLineParser.cpp:274-293."""
+        if not (12 <= self.min_anchor_len <= 20):
+            raise ValueError("-k/--minAnchorLen requires an argument in [12..20]")
+        if self.sampling_count <= 0:
+            raise ValueError("-c/--anchorCount requires a positive integer")
+        if self.max_map <= 0:
+            raise ValueError("-n/--numMap requires a positive integer")
+        if self.max_ref_hits <= 0:
+            raise ValueError("-m/--maxRefHit requires a positive integer")
+        cfg = self
+        if cfg.min_read_len < 100:  # floor, CommandLineParser.cpp:194
+            cfg = dataclasses.replace(cfg, min_read_len=100)
+        if cfg.chain_alg not in (ChainAlg.CLASP, ChainAlg.DPN2):
+            cfg = dataclasses.replace(cfg, chain_alg=ChainAlg.DPN2)
+        return cfg
+
+    def replace(self, **kw) -> "LordfastConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,100 @@
+"""ctypes bindings for the native (C++) host components.
+
+The native library is built on demand with the Makefile in this directory
+(g++ only; no external deps).  Pure-numpy fallbacks exist for every entry
+point so the engine still works without a compiler, just slower.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "liblordfast_native.so"
+
+_lib = None
+_lib_tried = False
+
+
+def _load():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    srcs = [_DIR / "sais.cpp"]
+    try:
+        if not _LIB_PATH.exists() or any(
+            s.stat().st_mtime > _LIB_PATH.stat().st_mtime for s in srcs
+        ):
+            subprocess.run(
+                ["make", "-s", "-C", str(_DIR)], check=True, capture_output=True
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.sais_u8.restype = ctypes.c_int
+        lib.sais_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.bwt_from_sa.restype = ctypes.c_int
+        lib.bwt_from_sa.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def suffix_array(text: np.ndarray) -> np.ndarray:
+    """Suffix array of ``text`` (uint8 codes; last char must be the unique
+    smallest sentinel).  Uses native SA-IS when available, else an
+    O(n log^2 n) numpy prefix-doubling fallback."""
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    n = len(text)
+    lib = _load()
+    if lib is not None:
+        sa = np.empty(n, dtype=np.int64)
+        rc = lib.sais_u8(
+            text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            int(text.max()) + 1,
+        )
+        if rc == 0:
+            return sa
+    return _suffix_array_doubling(text)
+
+
+def _suffix_array_doubling(text: np.ndarray) -> np.ndarray:
+    """Manber-Myers prefix doubling with numpy lexsort (fallback)."""
+    n = len(text)
+    rank = text.astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    tmp = np.empty(n, dtype=np.int64)
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        tmp[order[0]] = 0
+        prev = order[:-1]
+        cur = order[1:]
+        newgroup = (rank[cur] != rank[prev]) | (key2[cur] != key2[prev])
+        tmp[cur] = np.cumsum(newgroup)
+        rank = tmp.copy()
+        sa = order
+        if rank[sa[-1]] == n - 1:
+            break
+        k <<= 1
+    return sa

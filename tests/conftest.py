@@ -1,0 +1,43 @@
+"""Test configuration: force an 8-device CPU mesh before JAX initializes
+so pjit/shard_map paths are exercised without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def small_index():
+    """A small random-genome FM index shared across tests."""
+    from lordfast_tpu.config import LordfastConfig
+    from lordfast_tpu.index.builder import build_index
+    import tempfile
+
+    r = np.random.default_rng(7)
+    contigs = {
+        "chrA": r.integers(0, 4, size=20011),
+        "chrB": r.integers(0, 4, size=9973),
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as f:
+        for name, codes in contigs.items():
+            f.write(f">{name}\n")
+            seq = "".join("ACGT"[c] for c in codes)
+            for i in range(0, len(seq), 70):
+                f.write(seq[i : i + 70] + "\n")
+        path = f.name
+    cfg = LordfastConfig(kmer_cache_k=6)
+    idx = build_index(path, cfg, verbose=False)
+    return idx, contigs
