@@ -1,0 +1,307 @@
+"""Batched FM-index device kernels (JAX).
+
+Implements the anchoring stage of the pipeline — the equivalents of
+``bwt_occ``/``bwt_2occ`` (lib/bwa/bwt.c:107-163), ``bwt_sa``
+(lib/bwa/bwt.c:86-96) and the active seeder ``getLocs_extend_whole_step``
+(src/BWT.cpp:312-394) — as fixed-shape, batched computations:
+
+- ``occ``          : vectorized rank via checkpoint + in-block popcount
+                     (VPU-friendly: 8 uint32 words per 128-base block),
+- ``sa_lookup``    : lockstep inverse-Psi walk (<= sa_intv steps) over all
+                     hit lanes at once,
+- ``seed_anchors`` : the full seeding stage for a read batch.
+
+TPU-first redesign of the anchor search: the reference grows each anchor
+to its maximal length by re-running the whole backward search per added
+base (src/BWT.cpp:333-342 — O(m^2) rank queries per anchor).  Because the
+indexed text is fwd+revcomp (bntseq.c:301-307), occurrences of a pattern P
+and of revcomp(P) are mirror images: P at position x <-> revcomp(P) at
+2*l_pac - x - len(P).  We therefore search for revcomp(anchor): growing
+the anchor on the *right* then prepends one complemented base on the
+*left* of the searched pattern — a single incremental backward-extension
+step (O(m) total rank queries), in lockstep across all (read, sample
+position) lanes.  The located hits are mapped back through the mirror, so
+the emitted seed set (tPos, qPos, len, strand) is exactly the reference's.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+# Maximum anchor length; the reference stores seed length in a 12-bit
+# field (Seed_t.len, src/LordFAST.h:30-35), so 4095 is its hard cap too.
+MAX_ANCHOR_LEN = 4095
+
+
+def occ(arrs, meta, k, c):
+    """Occ(c, k): count of char c in the $-removed BWT prefix at row k.
+
+    Semantics of bwt_occ (lib/bwa/bwt.c:107-129) including the primary-row
+    adjustment; k in [-1, seq_len], c in [0, 3].  Shapes broadcast.
+    """
+    pdt = jnp.asarray(k).dtype
+    seq_len = meta["seq_len"]
+    primary = meta["primary"]
+    k = jnp.asarray(k)
+    c = jnp.asarray(c)
+    k, c = jnp.broadcast_arrays(k, c)
+
+    is_total = k == seq_len
+    is_none = k < 0
+    kk = jnp.clip(k, 0, seq_len - 1)
+    kp = kk - (kk >= primary).astype(pdt)
+
+    blk = kp >> 7
+    off = (kp & 127).astype(jnp.uint32)
+    base = arrs["occ_cp"][blk, c].astype(pdt)
+
+    # in-block popcount over 8 uint32 words (16 bases each)
+    word_base = blk * 8
+    widx = word_base[..., None] + jnp.arange(8, dtype=pdt)
+    w = arrs["bwt_words"][widx]  # (..., 8) uint32
+    c32 = c.astype(jnp.uint32)[..., None]
+    hi = jnp.where((c32 & 2) != 0, w, ~w)
+    lo = jnp.where((c32 & 1) != 0, w, ~w)
+    matched = (hi >> jnp.uint32(1)) & lo & jnp.uint32(0x55555555)
+
+    f = (off >> 4).astype(jnp.int32)[..., None]  # word holding the row
+    r = (off & 15)[..., None]  # base offset within it
+    lane = jnp.arange(8, dtype=jnp.int32)
+    partial = (~((jnp.uint32(1) << ((jnp.uint32(15) - r) << 1)) - 1)).astype(
+        jnp.uint32
+    )
+    cover = jnp.where(
+        lane < f,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(lane == f, partial, jnp.uint32(0)),
+    )
+    cnt = jax.lax.population_count(matched & cover).sum(axis=-1).astype(pdt)
+
+    total = (arrs["L2"][c + 1] - arrs["L2"][c]).astype(pdt)
+    res = base + cnt
+    res = jnp.where(is_total, total, res)
+    res = jnp.where(is_none, 0, res)
+    return res
+
+
+def backward_ext(arrs, meta, k, l, c):
+    """One backward-search step: [k, l] -> interval of c+pattern
+    (bwt_count_exact inner step, src/BWT.cpp:255-258)."""
+    ok = occ(arrs, meta, k - 1, c)
+    ol = occ(arrs, meta, l, c)
+    L2c = arrs["L2"][c].astype(jnp.asarray(k).dtype)
+    return L2c + ok + 1, L2c + ol
+
+
+def bwt_b0(arrs, k):
+    """BWT char at $-removed position k (bwt_B0, lib/bwa/bwt.h:78)."""
+    w = arrs["bwt_words"][k >> 4]
+    sh = ((((~k) & 15) << 1)).astype(jnp.uint32)
+    return ((w >> sh) & 3).astype(jnp.asarray(k).dtype)
+
+
+def sa_lookup(arrs, meta, rows, valid):
+    """SA values for a batch of rows: lockstep inverse-Psi walk until a
+    sampled row (bwt_sa, lib/bwa/bwt.c:86-96).  rows outside ``valid`` are
+    untouched and return 0."""
+    pdt = rows.dtype
+    primary = meta["primary"]
+    intv = meta["sa_intv"]
+    mask = intv - 1
+    log2_intv = int(intv).bit_length() - 1
+
+    def cond(state):
+        rows, steps, active = state
+        return jnp.any(active)
+
+    def body(state):
+        rows, steps, active = state
+        k = rows
+        # bwt_invPsi (lib/bwa/bwt.c:53-59)
+        x = k - (k > primary).astype(pdt)
+        ch = bwt_b0(arrs, x)
+        nxt = arrs["L2"][ch].astype(pdt) + occ(arrs, meta, k, ch)
+        nxt = jnp.where(k == primary, 0, nxt).astype(pdt)
+        rows = jnp.where(active, nxt, rows)
+        steps = steps + active.astype(pdt)
+        active = active & ((rows & mask) != 0)
+        return rows, steps, active
+
+    steps0 = jnp.zeros_like(rows)
+    active0 = valid & ((rows & mask) != 0)
+    rows_f, steps_f, _ = jax.lax.while_loop(cond, body, (rows, steps0, active0))
+    sa = steps_f + arrs["sa_samp"][rows_f >> log2_intv].astype(pdt)
+    return jnp.where(valid, sa, 0)
+
+
+class SeedBatch(NamedTuple):
+    """Padded per-read seed tensors; the device analogue of the
+    forward/reverse SeedList pair (src/LordFAST.h:37-41)."""
+
+    t_pos: jnp.ndarray   # (B, MS) target position (forward-genome coords)
+    q_pos: jnp.ndarray   # (B, MS) query position (strand-local, like ref)
+    length: jnp.ndarray  # (B, MS) anchor length
+    is_rev: jnp.ndarray  # (B, MS) bool strand
+    valid: jnp.ndarray   # (B, MS) bool
+    n_total: jnp.ndarray     # (B,) hits found (before the MS cap)
+    n_anchors: jnp.ndarray   # (B,) accepted anchors
+
+
+def sample_positions_host(read_lens, sampling_count):
+    """Anchor sampling positions, bit-exact with the reference's float
+    accumulation (src/BWT.cpp:320-328: seed_pos += step in double, then
+    truncate).  Computed on the host: numpy's sequential float64 cumsum
+    reproduces the C loop's IEEE addition order, which XLA would not
+    guarantee (it may strength-reduce the division / reorder the sum)."""
+    import numpy as np
+
+    read_lens = np.asarray(read_lens, dtype=np.int64)
+    step = read_lens.astype(np.float64) / sampling_count  # (B,)
+    acc = np.zeros((len(read_lens), sampling_count), dtype=np.float64)
+    acc[:, 1:] = np.cumsum(
+        np.repeat(step[:, None], sampling_count - 1, axis=1), axis=1
+    )
+    return acc.astype(np.int32)  # truncation toward zero, like (uint32) cast
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "meta_t", "sampling_count", "min_anchor_len", "max_ref_hits",
+        "max_seeds",
+    ),
+)
+def _seed_anchors_impl(
+    arrs, reads, read_lens, pos, meta_t, sampling_count, min_anchor_len,
+    max_ref_hits, max_seeds,
+):
+    meta = dict(meta_t)
+    pdt = jnp.int32 if meta["seq_len"] < 2**31 - 1 else jnp.int64
+    B, L = reads.shape
+    S = sampling_count
+    kc = meta["kcache_k"]
+    l_pac = meta["l_pac"]
+    reads_i = reads.astype(jnp.int32)
+
+    # ---- k-mer cache lookup on revcomp(anchor[0:kc]) ----
+    # cache index = sum_j comp(read[p+j]) * 4^(kc-1-j)  (see module doc;
+    # encoding matches bwt_count_exact_cached, src/BWT.cpp:270-277)
+    j = jnp.arange(kc)
+    gpos = pos[..., None] + j  # (B, S, kc)
+    in_range = gpos < read_lens[:, None, None]
+    ch = jnp.where(in_range, reads_i[jnp.arange(B)[:, None, None], gpos], 4)
+    has_n = jnp.any(ch >= 4, axis=-1)
+    comp = jnp.where(ch < 4, 3 - ch, 0)
+    weights = (4 ** (kc - 1 - j)).astype(pdt)
+    ci = (comp.astype(pdt) * weights).sum(-1)  # (B, S)
+    k0 = arrs["kcache_beg"][ci].astype(pdt)
+    l0 = arrs["kcache_end"][ci].astype(pdt)
+    alive0 = (~has_n) & (k0 <= l0) & (pos + kc <= read_lens[:, None])
+
+    # ---- lockstep greedy extension ----
+    max_ext = MAX_ANCHOR_LEN
+
+    def cond(state):
+        return jnp.any(state[0])
+
+    def body(state):
+        alive, k, l, m = state
+        nxt_q = pos + m  # next read position to consume (B, S)
+        in_rd = nxt_q < read_lens[:, None]
+        nq = jnp.clip(nxt_q, 0, L - 1)
+        c = reads_i[jnp.arange(B)[:, None], nq]
+        ok_char = in_rd & (c < 4)
+        cc = jnp.where(ok_char, 3 - c, 0).astype(pdt)  # complemented base
+        nk, nl = backward_ext(arrs, meta, k, l, cc)
+        success = alive & ok_char & (nk <= nl) & (m < max_ext)
+        k = jnp.where(success, nk, k)
+        l = jnp.where(success, nl, l)
+        m = jnp.where(success, m + 1, m)
+        return success, k, l, m
+
+    m0 = jnp.full((B, S), kc, dtype=jnp.int32)
+    _, kf, lf, mf = jax.lax.while_loop(cond, body, (alive0, k0, l0, m0))
+
+    occ_cnt = jnp.where(alive0 & (kf <= lf), (lf - kf + 1).astype(jnp.int32), 0)
+
+    # ---- acceptance: occ in (0, max_ref_hits), length >= min, not
+    # contained (sequential last_pos scan, src/BWT.cpp:345,386) ----
+    base_ok = (occ_cnt > 0) & (occ_cnt < max_ref_hits) & (mf >= min_anchor_len)
+
+    def contain_body(last_pos, xs):
+        p_s, m_s, ok_s = xs
+        accept = ok_s & ((p_s + m_s) > last_pos)
+        last_pos = jnp.where(accept, p_s + m_s, last_pos)
+        return last_pos, accept
+
+    _, accept = jax.lax.scan(
+        contain_body,
+        jnp.zeros((B,), jnp.int32),
+        (pos.T, mf.T, base_ok.T),
+    )
+    accept = accept.T  # (B, S)
+
+    # ---- locate: flatten accepted intervals into <= max_seeds slots ----
+    occ_acc = jnp.where(accept, occ_cnt, 0)
+    starts = jnp.cumsum(occ_acc, axis=1) - occ_acc  # exclusive prefix (B,S)
+    total = occ_acc.sum(axis=1)  # (B,)
+
+    slot = jnp.arange(max_seeds, dtype=jnp.int32)
+    # anchor owning slot t: the last s with starts[s] <= t.  Zero-count
+    # anchors share their start with the next real anchor, so side="right"
+    # - 1 always lands on an accepted anchor for any t < total.
+    sidx = jax.vmap(
+        lambda st, t: jnp.searchsorted(st, t, side="right") - 1
+    )(starts, jnp.broadcast_to(slot[None, :], (B, max_seeds)))
+    sidx = jnp.clip(sidx, 0, S - 1)
+    bidx = jnp.arange(B)[:, None]
+    slot_valid = slot[None, :] < total[:, None]
+    row = kf[bidx, sidx].astype(pdt) + (slot - starts[bidx, sidx]).astype(pdt)
+    row = jnp.where(slot_valid, row, 0)
+
+    p_occ = sa_lookup(arrs, meta, row, slot_valid)
+
+    # ---- mirror back to the reference's seed coordinates ----
+    m_s = mf[bidx, sidx]
+    p_s = pos[bidx, sidx]
+    p_P = (2 * l_pac - p_occ - m_s).astype(pdt)  # occurrence of the anchor
+    is_fwd = p_P < l_pac
+    t_pos = jnp.where(is_fwd, p_P, p_occ)
+    q_pos = jnp.where(is_fwd, p_s, read_lens[:, None] - p_s - m_s)
+
+    return SeedBatch(
+        t_pos=jnp.where(slot_valid, t_pos, 0).astype(pdt),
+        q_pos=jnp.where(slot_valid, q_pos, 0).astype(jnp.int32),
+        length=jnp.where(slot_valid, m_s, 0).astype(jnp.int32),
+        is_rev=jnp.where(slot_valid, ~is_fwd, False),
+        valid=slot_valid,
+        n_total=total,
+        n_anchors=accept.sum(axis=1).astype(jnp.int32),
+    )
+
+
+def seed_anchors(arrs, meta, reads, read_lens, cfg):
+    """Run the seeding stage for a padded read batch.
+
+    reads: (B, L) uint8 codes 0..4 (4 = N / pad); read_lens: (B,) int32.
+    Returns a SeedBatch with up to cfg.max_seeds_per_read seeds per read
+    across both strands.
+    """
+    meta_t = tuple(sorted((k, v) for k, v in meta.items() if k != "pos_dtype"))
+    pos = sample_positions_host(read_lens, cfg.sampling_count)
+    return _seed_anchors_impl(
+        arrs,
+        jnp.asarray(reads),
+        jnp.asarray(read_lens, dtype=jnp.int32),
+        jnp.asarray(pos),
+        meta_t,
+        cfg.sampling_count,
+        cfg.min_anchor_len,
+        cfg.max_ref_hits,
+        cfg.max_seeds_per_read,
+    )
