@@ -1,0 +1,154 @@
+"""Command-line interface mirroring the reference's flags
+(src/CommandLineParser.cpp:126-309).
+
+    lordfast-tpu --index ref.fa
+    lordfast-tpu --search ref.fa --seq reads.fq [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import ChainAlg, LordfastConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lordfast-tpu",
+        description="TPU-native long-read aligner (lordFAST capabilities)",
+    )
+    p.add_argument("--index", "-I", metavar="REF", help="build index for REF")
+    p.add_argument("--search", "-S", metavar="REF", help="map reads against REF")
+    p.add_argument("--seq", "-s", metavar="READS", help="FASTA/FASTQ(.gz) reads")
+    p.add_argument("--out", "-o", default="", help="output SAM (default stdout)")
+    p.add_argument("--threads", "-t", type=int, default=1)
+    p.add_argument("--minAnchorLen", "-k", type=int, default=14)
+    p.add_argument("--maxRefHit", "-m", type=int, default=1000)
+    p.add_argument("--minReadLen", "-l", type=int, default=1000)
+    p.add_argument("--anchorCount", "-c", type=int, default=1000)
+    p.add_argument("--numMap", "-n", type=int, default=10)
+    p.add_argument("--chainAlg", "-a", default="dp-n2")
+    p.add_argument("--readGroup", "-R", default="")
+    p.add_argument("--noSamHeader", action="store_true")
+    p.add_argument("--chainReward", "-r", type=float, default=9.3)
+    p.add_argument("--chainPenalty", "-p", type=float, default=11.4)
+    p.add_argument("--gapPenalty", "-g", type=float, default=0.15)
+    p.add_argument("--version", "-v", action="store_true")
+    return p
+
+
+def parse_read_group(rg_line: str):
+    """set_read_group (src/CommandLineParser.cpp:85-124)."""
+    if not rg_line.startswith("@RG"):
+        raise ValueError("SAM read group line does not start with @RG")
+    if "\t" in rg_line:
+        raise ValueError("read group line contained literal <tab> characters")
+    out = []
+    i = 0
+    while i < len(rg_line):
+        c = rg_line[i]
+        if c == "\\" and i + 1 < len(rg_line):
+            nxt = rg_line[i + 1]
+            out.append({"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}.get(nxt, ""))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    rg = "".join(out)
+    pos = rg.find("ID:")
+    if pos < 0:
+        raise ValueError("no ID within the read group line")
+    end = pos + 3
+    while end < len(rg) and rg[end] not in "\t\n":
+        end += 1
+    return rg, rg[pos + 3 : end]
+
+
+def config_from_args(args) -> LordfastConfig:
+    chain_alg = args.chainAlg
+    if chain_alg not in (ChainAlg.CLASP, ChainAlg.DPN2):
+        print(
+            "[WARNING] unknown argument for --chainAlg. "
+            "Using dynamic programming (dp-n2)!",
+            file=sys.stderr,
+        )
+        chain_alg = ChainAlg.DPN2
+    rg, rg_id = ("", "")
+    if args.readGroup:
+        rg, rg_id = parse_read_group(args.readGroup)
+    return LordfastConfig(
+        min_anchor_len=args.minAnchorLen,
+        max_ref_hits=args.maxRefHit,
+        min_read_len=args.minReadLen,
+        sampling_count=args.anchorCount,
+        max_map=args.numMap,
+        chain_alg=chain_alg,
+        chain_reward=args.chainReward,
+        chain_penalty=args.chainPenalty,
+        gap_penalty=args.gapPenalty,
+        read_group=rg,
+        read_group_id=rg_id,
+        no_sam_header=args.noSamHeader,
+        num_threads=args.threads,
+    ).validate()
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    args = build_parser().parse_args(argv)
+    if args.version:
+        from . import __version__
+
+        print(f"lordfast-tpu {__version__}")
+        return 0
+
+    if bool(args.index) == bool(args.search):
+        print("[ERROR] indexing / searching mode should be selected",
+              file=sys.stderr)
+        return 1
+
+    cfg = config_from_args(args)
+
+    if args.index:
+        from .index.builder import build_index, index_path_for, save_index
+
+        idx = build_index(args.index, cfg)
+        save_index(idx, index_path_for(args.index))
+        return 0
+
+    if not args.seq:
+        print("[ERROR] please indicate a sequence file for searching",
+              file=sys.stderr)
+        return 1
+
+    from .index.builder import (build_index, index_path_for, load_index,
+                                save_index)
+    from .pipeline.engine import MappingEngine
+
+    ipath = index_path_for(args.search)
+    try:
+        idx = load_index(ipath)
+    except FileNotFoundError:
+        print(f"[WARNING] could not locate index file: {ipath}; building",
+              file=sys.stderr)
+        idx = build_index(args.search, cfg)
+        save_index(idx, ipath)
+
+    engine = MappingEngine(idx, cfg)
+    cmdline = "lordfast-tpu " + " ".join(argv)
+    if args.out:
+        with open(args.out, "w") as out:
+            engine.map_file(args.seq, out, cmdline)
+    else:
+        engine.map_file(args.seq, sys.stdout, cmdline)
+    print(
+        f"[NOTE] processed {engine.stats['reads']} reads "
+        f"({engine.stats['mapped']} mapped)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

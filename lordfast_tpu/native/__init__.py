@@ -26,7 +26,7 @@ def _load():
     if _lib_tried:
         return _lib
     _lib_tried = True
-    srcs = [_DIR / "sais.cpp"]
+    srcs = [_DIR / "sais.cpp", _DIR / "align_eq.cpp"]
     try:
         if not _LIB_PATH.exists() or any(
             s.stat().st_mtime > _LIB_PATH.stat().st_mtime for s in srcs
@@ -49,6 +49,22 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
+        ]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.nw_align.restype = ctypes.c_int64
+        lib.nw_align.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+                                 u8p, i64p]
+        lib.shw_best_end.restype = ctypes.c_int64
+        lib.shw_best_end.argtypes = [u8p, ctypes.c_int64, u8p,
+                                     ctypes.c_int64, i64p]
+        lib.sw_extend.restype = ctypes.c_int32
+        lib.sw_extend.argtypes = [
+            ctypes.c_int32, u8p, ctypes.c_int32, u8p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
         ]
         _lib = lib
     except Exception:

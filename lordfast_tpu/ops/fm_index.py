@@ -233,18 +233,18 @@ def _seed_anchors_impl(
     # contained (sequential last_pos scan, src/BWT.cpp:345,386) ----
     base_ok = (occ_cnt > 0) & (occ_cnt < max_ref_hits) & (mf >= min_anchor_len)
 
-    def contain_body(last_pos, xs):
-        p_s, m_s, ok_s = xs
-        accept = ok_s & ((p_s + m_s) > last_pos)
-        last_pos = jnp.where(accept, p_s + m_s, last_pos)
-        return last_pos, accept
-
-    _, accept = jax.lax.scan(
-        contain_body,
-        jnp.zeros((B,), jnp.int32),
-        (pos.T, mf.T, base_ok.T),
+    # Containment filter (src/BWT.cpp:345,386): an anchor is accepted iff
+    # its end exceeds the last ACCEPTED end.  The accepted-prefix max
+    # always equals the running max over all passing anchors (a new
+    # maximum necessarily exceeds the previous accepted max, so it is
+    # itself accepted), so the sequential scan reduces to an exclusive
+    # cumulative max — parallel-friendly for XLA.
+    ends = jnp.where(base_ok, pos + mf, 0)
+    prev_max = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32),
+         jax.lax.cummax(ends, axis=1)[:, :-1]], axis=1
     )
-    accept = accept.T  # (B, S)
+    accept = base_ok & ((pos + mf) > prev_max)
 
     # ---- locate: flatten accepted intervals into <= max_seeds slots ----
     occ_acc = jnp.where(accept, occ_cnt, 0)
