@@ -3,12 +3,14 @@ so pjit/shard_map paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env pins axon/TPU
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The session environment may pin an experimental TPU platform plugin that
+# overrides JAX_PLATFORMS at import; forcing via jax.config is reliable.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
