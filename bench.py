@@ -104,9 +104,10 @@ def main():
     n_lines = sum(
         1 for l in out.getvalue().splitlines() if not l.startswith("@")
     )
-    rps = N_READS / dt
+    n_reads = engine.stats["reads"] // 2  # two passes
+    rps = n_reads / dt
     print(
-        f"[bench] warmup {warm:.1f}s; timed {dt:.2f}s for {N_READS} reads "
+        f"[bench] warmup {warm:.1f}s; timed {dt:.2f}s for {n_reads} reads "
         f"({n_lines} SAM records) -> {rps:.1f} reads/s",
         file=sys.stderr,
     )

@@ -398,6 +398,112 @@ def align_chain_edlib(
     return mapping
 
 
+class _StitchRecordC(__import__("ctypes").Structure):
+    _fields_ = [
+        ("flag", __import__("ctypes").c_int32),
+        ("pos", __import__("ctypes").c_int64),
+        ("pos_end", __import__("ctypes").c_int64),
+        ("q_start", __import__("ctypes").c_int64),
+        ("q_end", __import__("ctypes").c_int64),
+        ("nm_count", __import__("ctypes").c_int64),
+        ("aln_score", __import__("ctypes").c_int64),
+        ("cigar_off", __import__("ctypes").c_int64),
+        ("cigar_len", __import__("ctypes").c_int64),
+        ("md_off", __import__("ctypes").c_int64),
+        ("md_len", __import__("ctypes").c_int64),
+    ]
+
+
+def align_chain_native(
+    chain_q, chain_t, chain_l, query, read_len, is_rev, idx, cfg
+) -> Mapping | None:
+    """Native (C++) stitcher: one call per window (native/stitch.cpp).
+    Returns None if the native library is unavailable (caller falls back
+    to the Python implementation above)."""
+    import ctypes
+
+    from ..native import _load
+
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(chain_q)
+    cq = np.ascontiguousarray(chain_q, dtype=np.int64)
+    ct = np.ascontiguousarray(chain_t, dtype=np.int64)
+    cl = np.ascontiguousarray(chain_l, dtype=np.int64)
+    q = np.ascontiguousarray(query, dtype=np.uint8)
+    chr_beg, chr_end = idx.chr_boundaries(int(ct[0]), int(ct[n - 1]))
+
+    slack = cfg.end_extension_slack
+    # chains may cross contig boundaries (the reference reads concatenated
+    # pac there), so the slice is bounded by the genome, not the contig
+    lo = max(0, int(ct[0]) - read_len - slack - 8)
+    hi = int(ct[n - 1] + cl[n - 1]) + read_len + slack + 8
+    ref_slice = np.ascontiguousarray(idx.get_ref_codes(lo, hi - lo))
+
+    mat_clip = np.ascontiguousarray(
+        ed.build_ksw_matrix(cfg.ksw_match_clip, cfg.ksw_mismatch_clip),
+        dtype=np.int8,
+    )
+    max_recs = 64
+    recs = (_StitchRecordC * max_recs)()
+    strcap = 16 * (read_len + 1024)
+    strbuf = ctypes.create_string_buffer(strcap)
+    total = ctypes.c_int64(0)
+    gp = cfg.gap_penalty if is_rev else 0.15  # reference quirk, see above
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    nrec = lib.stitch_chain(
+        cq.ctypes.data_as(i64p), ct.ctypes.data_as(i64p),
+        cl.ctypes.data_as(i64p), n,
+        q.ctypes.data_as(u8p), read_len, int(is_rev),
+        ref_slice.ctypes.data_as(u8p), lo, len(ref_slice),
+        chr_beg, chr_end,
+        cfg.clip_len, cfg.clip_sim, cfg.split_len, cfg.split_sim,
+        cfg.reverse_sim, slack,
+        mat_clip.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        cfg.ksw_gap_open_clip, cfg.ksw_gap_extend_clip,
+        cfg.clip_band, cfg.clip_zdrop,
+        cfg.split_o_del, cfg.split_e_del, cfg.split_o_ins, cfg.split_e_ins,
+        cfg.split_band, cfg.split_zdrop,
+        gp,
+        ctypes.cast(recs, ctypes.c_void_p), max_recs,
+        strbuf, strcap,
+        ctypes.byref(total),
+    )
+    if nrec < 0:
+        return None  # buffers too small; fall back to Python path
+    raw = strbuf.raw
+    m = Mapping(total_score=int(total.value))
+    for i in range(nrec):
+        r = recs[i]
+        m.records.append(
+            SamRecord(
+                flag=r.flag, pos=r.pos, pos_end=r.pos_end,
+                q_start=r.q_start, q_end=r.q_end,
+                cigar=raw[r.cigar_off : r.cigar_off + r.cigar_len].decode(),
+                md=raw[r.md_off : r.md_off + r.md_len].decode(),
+                nm_count=r.nm_count, aln_score=r.aln_score,
+            )
+        )
+    return m
+
+
+def align_and_score(chain_q, chain_t, chain_l, query, read_len, is_rev,
+                    idx, cfg) -> Mapping:
+    """Stitch + score one window: native fast path with Python fallback."""
+    m = align_chain_native(
+        chain_q, chain_t, chain_l, query, read_len, is_rev, idx, cfg
+    )
+    if m is None:
+        m = align_chain_edlib(
+            chain_q, chain_t, chain_l, query, read_len, is_rev, idx, cfg
+        )
+        score_mapping(m, read_len, is_rev, cfg)
+    return m
+
+
 def score_mapping(mapping: Mapping, read_len: int, is_rev: bool,
                   cfg: LordfastConfig) -> None:
     """Window scoring of alignWin (src/LordFAST.cpp:1063-1090).

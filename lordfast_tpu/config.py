@@ -77,11 +77,18 @@ class LordfastConfig:
     occ_interval: int = 128         # bases per Occ checkpoint block
     sa_interval: int = 32           # SA sampling interval (bwtindex.c:286)
 
+    # chaining DP score dtype: "f64" reproduces the reference's double
+    # arithmetic bit-for-bit; "f32" runs ~100x faster on TPU (no native
+    # fp64) at the cost of potential window-ranking flips within ~1e-4
+    # relative score differences; "auto" = f64 on CPU, f32 on TPU.
+    chain_dp_dtype: str = "auto"
+
     # ---- TPU batching budgets (no reference equivalent: the reference
     # allocates SAMPLING_COUNT*MAX_REF_HITS per-thread seed buffers; we
     # bound the padded per-read seed tensor instead) ----
     max_seeds_per_read: int = 4096  # flat (tPos,qPos,len) slots per strand
     max_candidates: int = 32        # windows chained in fine mode per read
+    compact_windows_per_read: int = 8  # avg chaining slots per read (K = B*this)
     max_chain_seeds: int = 512      # seeds entering the chaining DP / window
     batch_reads: int = 64           # reads per device batch
     gap_buckets: tuple = (64, 256, 1024, 4096, 16384)  # Myers kernel sizes

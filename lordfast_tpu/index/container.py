@@ -91,9 +91,21 @@ class FMIndex:
 
     def get_ref_codes(self, beg: int, length: int) -> np.ndarray:
         """Forward-genome codes [beg, beg+length) from pac
-        (bwt_str_pac2int, src/BWT.cpp:593-599)."""
+        (bwt_str_pac2int, src/BWT.cpp:593-599).
+
+        Requests may legitimately touch positions past a contig's end (the
+        reference reads the concatenated pac across contig boundaries for
+        window-spanning chains); positions beyond the genome end are padded
+        with base 0 ('A') instead of reading out of bounds."""
         from ..utils.pack import unpack_pac
 
+        if beg < 0 or beg + length > self.l_pac:
+            out = np.zeros(max(length, 0), dtype=np.uint8)
+            lo = max(beg, 0)
+            hi = min(beg + length, self.l_pac)
+            if hi > lo:
+                out[lo - beg : hi - beg] = unpack_pac(self.pac, lo, hi - lo)
+            return out
         return unpack_pac(self.pac, beg, length)
 
     def get_ref_str(self, beg: int, length: int) -> bytes:

@@ -26,7 +26,7 @@ def _load():
     if _lib_tried:
         return _lib
     _lib_tried = True
-    srcs = [_DIR / "sais.cpp", _DIR / "align_eq.cpp"]
+    srcs = [_DIR / "sais.cpp", _DIR / "align_eq.cpp", _DIR / "stitch.cpp"]
     try:
         if not _LIB_PATH.exists() or any(
             s.stat().st_mtime > _LIB_PATH.stat().st_mtime for s in srcs
@@ -65,6 +65,24 @@ def _load():
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
+        ]
+        lib.stitch_chain.restype = ctypes.c_int32
+        lib.stitch_chain.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int32,              # chain
+            u8p, ctypes.c_int64, ctypes.c_int32,           # query
+            u8p, ctypes.c_int64, ctypes.c_int64,           # ref slice
+            ctypes.c_int64, ctypes.c_int64,                # chr bounds
+            ctypes.c_int32, ctypes.c_double,               # clip
+            ctypes.c_int32, ctypes.c_double,               # split
+            ctypes.c_double, ctypes.c_int32,               # reverse_sim, slack
+            ctypes.POINTER(ctypes.c_int8),                 # mat_clip
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double,                               # gap_penalty
+            ctypes.c_void_p, ctypes.c_int32,               # recs
+            ctypes.c_char_p, ctypes.c_int64,               # strbuf
+            i64p,                                          # total_score
         ]
         _lib = lib
     except Exception:

@@ -23,28 +23,73 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class WindowSeeds(NamedTuple):
-    q_pos: jnp.ndarray   # (B, C, N) int32, sorted by (qPos, tPos)
-    t_pos: jnp.ndarray   # (B, C, N) position dtype
-    length: jnp.ndarray  # (B, C, N) int32
-    valid: jnp.ndarray   # (B, C, N) bool
-    n_in_range: jnp.ndarray  # (B, C) int32: seeds in range before the N cap
+    q_pos: jnp.ndarray   # (..., N) int32, sorted by (qPos, tPos)
+    t_pos: jnp.ndarray   # (..., N) position dtype
+    length: jnp.ndarray  # (..., N) int32
+    valid: jnp.ndarray   # (..., N) bool
+    n_in_range: jnp.ndarray  # (...,) int32: seeds in range before the N cap
 
 
 class ChainBatch(NamedTuple):
-    q_pos: jnp.ndarray   # (B, C, N) chain seeds, ascending qPos
+    q_pos: jnp.ndarray   # (..., N) chain seeds, ascending qPos
     t_pos: jnp.ndarray
     length: jnp.ndarray
-    chain_len: jnp.ndarray  # (B, C) int32
-    score: jnp.ndarray      # (B, C) float32 (-1 when no seeds, Chain.cpp:62)
+    chain_len: jnp.ndarray  # (...,) int32
+    score: jnp.ndarray      # (...,) float32 (-1 when no seeds, Chain.cpp:62)
 
 
-def select_window_seeds(seeds, cands, read_lens, arrs, cfg, n_sel=None):
-    """Gather each candidate window's seeds into fixed-size slots."""
+class CompactWindows(NamedTuple):
+    """Flat list of the windows that actually need chaining: the single
+    top-vote window for coarse-mode reads (src/LordFAST.cpp:543-548) and
+    every candidate above minScore for fine-mode reads (:875).  Compaction
+    shrinks the chaining DP workload by roughly C_max / avg-needed."""
+
+    read_idx: jnp.ndarray  # (K,) int32 index into the batch
+    cand_idx: jnp.ndarray  # (K,) int32 index into the CandidateBatch row
+    win_id: jnp.ndarray    # (K,) int32
+    is_rev: jnp.ndarray    # (K,) bool
+    valid: jnp.ndarray     # (K,) bool
+    n_needed: jnp.ndarray  # () int32: true count (may exceed K: overflow)
+
+
+def compact_candidates(cands, cfg, k_windows: int) -> CompactWindows:
+    B, C = cands.cnt.shape
+    cidx = jnp.arange(C, dtype=jnp.int32)[None, :]
+    fine = cands.is_fine[:, None]
+    need = cands.valid & jnp.where(
+        fine,
+        cands.cnt.astype(jnp.float32) > cands.min_score[:, None],
+        cidx == 0,
+    )
+    flat_need = need.reshape(-1)
+    key = jnp.where(flat_need, cands.cnt.reshape(-1), -1)
+    val, pos = jax.lax.top_k(key, k_windows)
+    ok = val > 0
+    b = (pos // C).astype(jnp.int32)
+    c = (pos % C).astype(jnp.int32)
+    return CompactWindows(
+        read_idx=jnp.where(ok, b, 0),
+        cand_idx=jnp.where(ok, c, 0),
+        win_id=jnp.where(ok, cands.win_id[b, c], 0),
+        is_rev=jnp.where(ok, cands.is_rev[b, c], False),
+        valid=ok,
+        n_needed=flat_need.sum().astype(jnp.int32),
+    )
+
+
+def select_window_seeds(seeds, cw: CompactWindows, read_lens, arrs, cfg,
+                        n_sel=None):
+    """Gather each compacted window's seeds into fixed-size slots.
+
+    Window geometry and seed filter follow calcChainScore / alignWin
+    (src/LordFAST.cpp:659-680, 995-1018): [w*rl, (w+2)*rl-1] +- rl/2,
+    clamped to the contig containing the window midpoint."""
     B, MS = seeds.t_pos.shape
-    C = cands.win_id.shape[1]
+    K = cw.read_idx.shape[0]
     N = n_sel or cfg.max_chain_seeds
     pdt = seeds.t_pos.dtype
 
@@ -59,8 +104,9 @@ def select_window_seeds(seeds, cands, read_lens, arrs, cfg, n_sel=None):
         (key, seeds.t_pos, seeds.q_pos, seeds.length), num_keys=1
     )
 
-    rl = read_lens.astype(jnp.int64)[:, None]  # (B, 1)
-    w = cands.win_id.astype(jnp.int64)
+    rb = cw.read_idx  # (K,)
+    rl = read_lens.astype(jnp.int64)[rb]  # (K,)
+    w = cw.win_id.astype(jnp.int64)
     t_start = w * rl
     t_end = (w + 2) * rl - 1
     margin = rl >> 1
@@ -73,28 +119,28 @@ def select_window_seeds(seeds, cands, read_lens, arrs, cfg, n_sel=None):
     )
     chr_beg = offs[rid]
     chr_end = ends[rid] - 1
-    lo = jnp.maximum(t_start - margin, chr_beg)  # (B, C)
+    lo = jnp.maximum(t_start - margin, chr_beg)  # (K,)
     hi = jnp.minimum(t_end + margin, chr_end)
 
-    strand = cands.is_rev.astype(jnp.int64)
+    strand = cw.is_rev.astype(jnp.int64)
     lo_key = strand * BIGP + lo
     hi_key = strand * BIGP + hi
-    lo_idx = jax.vmap(lambda ks, q: jnp.searchsorted(ks, q, side="left"))(
-        key_s, lo_key
-    )  # (B, C)
-    hi_idx = jax.vmap(lambda ks, q: jnp.searchsorted(ks, q, side="right"))(
-        key_s, hi_key
-    )
-    n_in_range = (hi_idx - lo_idx).astype(jnp.int32)
+    keys_per_win = key_s[rb]  # (K, MS)
+    lo_idx = jax.vmap(
+        lambda ks, q: jnp.searchsorted(ks, q, side="left")
+    )(keys_per_win, lo_key[:, None])[:, 0]
+    hi_idx = jax.vmap(
+        lambda ks, q: jnp.searchsorted(ks, q, side="right")
+    )(keys_per_win, hi_key[:, None])[:, 0]
+    n_in_range = jnp.where(cw.valid, (hi_idx - lo_idx).astype(jnp.int32), 0)
 
     slot = jnp.arange(N)
-    gidx = jnp.clip(lo_idx[..., None] + slot, 0, MS - 1)  # (B, C, N)
-    ok = slot[None, None, :] < jnp.minimum(n_in_range, N)[..., None]
-    bidx = jnp.arange(B)[:, None, None]
+    gidx = jnp.clip(lo_idx[:, None] + slot[None, :], 0, MS - 1)  # (K, N)
+    ok = slot[None, :] < jnp.minimum(n_in_range, N)[:, None]
 
-    q = jnp.where(ok, q_s[bidx, gidx], 0)
-    t = jnp.where(ok, t_s[bidx, gidx], 0)
-    ln = jnp.where(ok, l_s[bidx, gidx], 0)
+    q = jnp.where(ok, q_s[rb[:, None], gidx], 0)
+    t = jnp.where(ok, t_s[rb[:, None], gidx], 0)
+    ln = jnp.where(ok, l_s[rb[:, None], gidx], 0)
 
     # sort window seeds by (qPos, tPos) for the DP (std::sort by qPos,
     # src/Chain.cpp:244; tPos as deterministic tiebreak)
@@ -102,29 +148,39 @@ def select_window_seeds(seeds, cands, read_lens, arrs, cfg, n_sel=None):
     skey = jnp.where(ok, q.astype(jnp.int64) * BIGQ + t.astype(jnp.int64),
                      jnp.int64(2**62))
     sk, q2, t2, l2, ok2 = jax.lax.sort(
-        (skey.reshape(B * C, N), q.reshape(B * C, N).astype(jnp.int32),
-         t.reshape(B * C, N), ln.reshape(B * C, N).astype(jnp.int32),
-         ok.reshape(B * C, N).astype(jnp.int32)),
+        (skey, q.astype(jnp.int32), t, ln.astype(jnp.int32),
+         ok.astype(jnp.int32)),
         num_keys=1,
     )
     return WindowSeeds(
-        q_pos=q2.reshape(B, C, N),
-        t_pos=t2.reshape(B, C, N).astype(pdt),
-        length=l2.reshape(B, C, N),
-        valid=ok2.reshape(B, C, N) == 1,
+        q_pos=q2,
+        t_pos=t2.astype(pdt),
+        length=l2,
+        valid=ok2 == 1,
         n_in_range=n_in_range,
     )
 
 
+def _dp_dtype(cfg):
+    mode = getattr(cfg, "chain_dp_dtype", "auto")
+    if mode == "f64":
+        return jnp.float64
+    if mode == "f32":
+        return jnp.float32
+    return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
 def chain_dpn2(ws: WindowSeeds, cfg) -> ChainBatch:
-    B, C, N = ws.q_pos.shape
-    W = B * C
+    lead = ws.q_pos.shape[:-1]
+    N = ws.q_pos.shape[-1]
+    W = int(np.prod(lead)) if lead else 1
     q = ws.q_pos.reshape(W, N).astype(jnp.int32)
     t = ws.t_pos.reshape(W, N).astype(jnp.int64)
     ln = ws.length.reshape(W, N).astype(jnp.int32)
     ok = ws.valid.reshape(W, N)
+    fdt = _dp_dtype(cfg)
 
-    reward = jnp.float64(cfg.chain_reward * cfg.min_anchor_len)
+    reward = jnp.asarray(cfg.chain_reward * cfg.min_anchor_len, fdt)
     jidx = jnp.arange(N, dtype=jnp.int32)
 
     q_end = q + ln - 1  # qPos_j + len_j - 1
@@ -138,12 +194,12 @@ def chain_dpn2(ws: WindowSeeds, cfg) -> ChainBatch:
         d = jnp.abs(dist_r - dist_t)
         pen = jnp.where(
             d <= 1,
-            0.0,
-            0.1 * d.astype(jnp.float64)
-            + cfg.chain_penalty * jnp.log(jnp.maximum(d, 2).astype(jnp.float64)),
+            jnp.asarray(0.0, fdt),
+            0.1 * d.astype(fdt)
+            + cfg.chain_penalty * jnp.log(jnp.maximum(d, 2).astype(fdt)),
         )
         val = jnp.where(can, dp + reward - pen, -jnp.inf)
-        base = ln[:, i].astype(jnp.float64)
+        base = ln[:, i].astype(fdt)
         best = jnp.max(val, axis=1)
         take = best > base  # strict, like dp[j]+a-b > dp[i] (Chain.cpp:275)
         # predecessor: largest j among ties (reference scans j descending
@@ -156,7 +212,7 @@ def chain_dpn2(ws: WindowSeeds, cfg) -> ChainBatch:
         prev = prev.at[:, i].set(jnp.where(ok[:, i], prev_i, -1))
         return (dp, prev), None
 
-    dp0 = jnp.full((W, N), -jnp.inf, jnp.float64)
+    dp0 = jnp.full((W, N), -jnp.inf, fdt)
     prev0 = jnp.full((W, N), -1, jnp.int32)
     (dp, prev), _ = jax.lax.scan(step, (dp0, prev0), jnp.arange(N))
 
@@ -196,9 +252,9 @@ def chain_dpn2(ws: WindowSeeds, cfg) -> ChainBatch:
 
     score = jnp.where(any_ok, best_score, -1.0).astype(jnp.float32)
     return ChainBatch(
-        q_pos=gq.reshape(B, C, N),
-        t_pos=gt.reshape(B, C, N).astype(ws.t_pos.dtype),
-        length=gl.reshape(B, C, N),
-        chain_len=jnp.where(any_ok, clen, 0).reshape(B, C),
-        score=score.reshape(B, C),
+        q_pos=gq.reshape(*lead, N),
+        t_pos=gt.reshape(*lead, N).astype(ws.t_pos.dtype),
+        length=gl.reshape(*lead, N),
+        chain_len=jnp.where(any_ok, clen, 0).reshape(lead),
+        score=score.reshape(lead),
     )

@@ -45,9 +45,11 @@ def device_pipeline(arrs, meta, cfg):
             cfg.max_seeds_per_read,
         )
         cands = vote_ops.vote_windows(seeds, lens, cfg)
-        ws = chain_ops.select_window_seeds(seeds, cands, lens, arrs, cfg)
+        k_windows = reads.shape[0] * cfg.compact_windows_per_read
+        cw = chain_ops.compact_candidates(cands, cfg, k_windows)
+        ws = chain_ops.select_window_seeds(seeds, cw, lens, arrs, cfg)
         chains = chain_ops.chain_dpn2(ws, cfg)
-        return seeds, cands, chains
+        return seeds, cands, cw, chains
 
     return fn
 

@@ -20,7 +20,7 @@ from typing import List, Optional, TextIO
 
 import numpy as np
 
-from ..align.chain_align import Mapping, align_chain_edlib, score_mapping
+from ..align.chain_align import Mapping, align_and_score
 from ..config import LordfastConfig
 from ..index.container import FMIndex
 from ..io import sam as sam_io
@@ -52,51 +52,52 @@ class MappingEngine:
         cfg = self.cfg
         seeds = fm_ops.seed_anchors(self.arrs, self.meta, reads_arr, lens, cfg)
         cands = vote_ops.vote_windows(seeds, lens, cfg)
-        ws = chain_ops.select_window_seeds(seeds, cands, lens, self.arrs, cfg)
+        k_windows = len(lens) * cfg.compact_windows_per_read
+        cw = chain_ops.compact_candidates(cands, cfg, k_windows)
+        ws = chain_ops.select_window_seeds(seeds, cw, lens, self.arrs, cfg)
         chains = chain_ops.chain_dpn2(ws, cfg)
-        return seeds, cands, chains
+        return seeds, cands, cw, chains
 
     # ---- per-read host resolution ----
-    def _resolve_read(self, b: int, read: Read, cands, chains) -> List[Mapping]:
+    def _resolve_read(self, b: int, read: Read, cands, cw, chains,
+                      rows_by_read) -> List[Mapping]:
         cfg = self.cfg
         read_len = len(read.seq)
-        valid = np.asarray(cands.valid[b])
-        if not valid[0]:
+        if not cands.valid[b, 0]:
             return []  # no candidate windows -> unmapped
+
+        rows = rows_by_read.get(b, [])
+        if not rows:
+            self.stats["compact_overflow"] = (
+                self.stats.get("compact_overflow", 0) + 1
+            )
+            return []
+
+        if not bool(cands.is_fine[b]):
+            # coarse: the single top-vote window (cand index 0)
+            selected = [k for k in rows if cw.cand_idx[k] == 0][:1]
+        else:
+            # top max_map windows by chain score (the fine-mode heap,
+            # src/LordFAST.cpp:819-904); ties by vote rank
+            rows = sorted(
+                rows, key=lambda k: (-float(chains.score[k]), int(cw.cand_idx[k]))
+            )
+            selected = rows[: cfg.max_map]
 
         fwd = seq_to_codes(read.seq)
         rev = revcomp_codes(fwd)
 
-        c_scores = np.asarray(chains.score[b])
-        c_lens = np.asarray(chains.chain_len[b])
-        cnts = np.asarray(cands.cnt[b])
-        is_rev = np.asarray(cands.is_rev[b])
-
-        if not bool(cands.is_fine[b]):
-            selected = [0]  # coarse: single top-vote window
-        else:
-            min_score = np.float32(cands.min_score[b])
-            qual_idx = [
-                c for c in range(len(valid))
-                if valid[c] and np.float32(cnts[c]) > min_score
-            ]
-            # top max_map windows by chain score (the fine-mode heap,
-            # src/LordFAST.cpp:819-904)
-            qual_idx.sort(key=lambda c: (-float(c_scores[c]), c))
-            selected = qual_idx[: cfg.max_map]
-
         mappings = []
-        for c in selected:
-            if c_lens[c] > 1:
-                n = int(c_lens[c])
-                query = rev if is_rev[c] else fwd
-                m = align_chain_edlib(
-                    np.asarray(chains.q_pos[b, c, :n]),
-                    np.asarray(chains.t_pos[b, c, :n]),
-                    np.asarray(chains.length[b, c, :n]),
-                    query, read_len, bool(is_rev[c]), self.idx, cfg,
+        for k in selected:
+            n = int(chains.chain_len[k])
+            if n > 1:
+                query = rev if cw.is_rev[k] else fwd
+                m = align_and_score(
+                    chains.q_pos[k, :n],
+                    chains.t_pos[k, :n],
+                    chains.length[k, :n],
+                    query, read_len, bool(cw.is_rev[k]), self.idx, cfg,
                 )
-                score_mapping(m, read_len, bool(is_rev[c]), cfg)
             else:
                 m = Mapping(records=[], total_score=-2 * read_len)
             mappings.append(m)
@@ -144,9 +145,19 @@ class MappingEngine:
                 codes = seq_to_codes(r.seq)
                 arr[j, : len(codes)] = codes
                 lens[j] = len(codes)
-            seeds, cands, chains = self._device_stage(arr, lens)
+            seeds, cands, cw, chains = self._device_stage(arr, lens)
+            # one device->host transfer per batch
+            cands = type(cands)(*[np.asarray(x) for x in cands])
+            cw = type(cw)(*[np.asarray(x) for x in cw])
+            chains = type(chains)(*[np.asarray(x) for x in chains])
+            rows_by_read = {}
+            for k in range(len(cw.valid)):
+                if cw.valid[k]:
+                    rows_by_read.setdefault(int(cw.read_idx[k]), []).append(k)
             for j, i in enumerate(idxs):
-                results[i] = self._resolve_read(j, batch[j], cands, chains)
+                results[i] = self._resolve_read(
+                    j, batch[j], cands, cw, chains, rows_by_read
+                )
 
         wi = 0
         for r in chunk:

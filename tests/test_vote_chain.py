@@ -8,7 +8,8 @@ import pytest
 import jax.numpy as jnp
 
 from lordfast_tpu.config import LordfastConfig
-from lordfast_tpu.ops.chain import chain_dpn2, select_window_seeds, WindowSeeds
+from lordfast_tpu.ops.chain import (CompactWindows, chain_dpn2,
+                                    select_window_seeds, WindowSeeds)
 from lordfast_tpu.ops.fm_index import SeedBatch
 from lordfast_tpu.ops.voting import vote_windows
 
@@ -176,17 +177,22 @@ def test_select_window_seeds(small_index, rng):
     sb = make_seed_batch(seeds_list, MS=MS)
     from lordfast_tpu.ops.voting import CandidateBatch
 
-    # two hand-picked windows per read
+    # two hand-picked windows per read, as a flat compacted list
     win_id = np.array([[3, 25], [1, 8]], np.int32)
     is_rev = np.array([[False, True], [True, False]])
-    cands = CandidateBatch(
-        win_id=jnp.asarray(win_id), is_rev=jnp.asarray(is_rev),
-        cnt=jnp.ones((B, 2), jnp.int32), valid=jnp.ones((B, 2), bool),
-        is_fine=jnp.zeros(B, bool), min_score=jnp.zeros(B, jnp.float32),
+    cw = CompactWindows(
+        read_idx=jnp.asarray([0, 0, 1, 1], jnp.int32),
+        cand_idx=jnp.asarray([0, 1, 0, 1], jnp.int32),
+        win_id=jnp.asarray(win_id.reshape(-1)),
+        is_rev=jnp.asarray(is_rev.reshape(-1)),
+        valid=jnp.ones(4, bool),
+        n_needed=jnp.asarray(4, jnp.int32),
     )
     ws = select_window_seeds(
-        sb, cands, jnp.full(B, read_len, jnp.int32), arrs, cfg
+        sb, cw, jnp.full(B, read_len, jnp.int32), arrs, cfg
     )
+    ws = WindowSeeds(*[x.reshape(2, 2, -1) if x.ndim > 1 else x.reshape(2, 2)
+                       for x in ws])
     for b in range(B):
         for c in range(2):
             w = int(win_id[b, c])
