@@ -75,7 +75,13 @@ class LordfastConfig:
 
     # ---- index layout ----
     occ_interval: int = 128         # bases per Occ checkpoint block
-    sa_interval: int = 32           # SA sampling interval (bwtindex.c:286)
+    # SA sampling interval.  0 = auto: store the FULL suffix array
+    # (interval 1) when it fits sa_mem_budget bytes — locate becomes a
+    # single gather instead of an up-to-interval-step inverse-Psi walk,
+    # the dominant cost of seeding on TPU (random gathers per step) —
+    # else fall back to 32 (bwa's choice, bwtindex.c:286).
+    sa_interval: int = 0
+    sa_mem_budget: int = 2 << 30    # bytes of HBM the SA may occupy
 
     # chaining DP score dtype: "f64" reproduces the reference's double
     # arithmetic bit-for-bit; "f32" runs ~100x faster on TPU (no native

@@ -161,6 +161,9 @@ def build_index(fasta_path, cfg: LordfastConfig | None = None, verbose=True) -> 
     # sampled SA: rows k % intv == 0 of the conceptual (n+1)-row matrix;
     # sa_full already is that matrix (row 0 = sentinel, value seq_len).
     sa_intv = cfg.sa_interval
+    if sa_intv == 0:  # auto: full SA when it fits the budget (see config)
+        pos_size = 4 if seq_len < 2**31 - 1 else 8
+        sa_intv = 1 if (seq_len + 1) * pos_size <= cfg.sa_mem_budget else 32
     sa_samp = sa_full[::sa_intv].copy()
     sa_samp[0] = -1  # bwa sets sa[0] = -1 (never queried; bwt.c:83)
     del sa_full

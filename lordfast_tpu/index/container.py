@@ -134,6 +134,8 @@ class FMIndex:
         fwd_codes = unpack_pac(self.pac, 0, self.l_pac)
         arrs = {
             "bwt_words": jnp.asarray(self.bwt_words),
+            # block-major view for rank: one row = one 128-base block
+            "bwt_blocks": jnp.asarray(self.bwt_words.reshape(-1, 8)),
             "occ_cp": jnp.asarray(self.occ_cp),
             "sa_samp": jnp.asarray(self.sa_samp.astype(pdt)),
             "kcache_beg": jnp.asarray(self.kcache_beg.astype(pdt)),

@@ -60,10 +60,10 @@ def occ(arrs, meta, k, c):
     off = (kp & 127).astype(jnp.uint32)
     base = arrs["occ_cp"][blk, c].astype(pdt)
 
-    # in-block popcount over 8 uint32 words (16 bases each)
-    word_base = blk * 8
-    widx = word_base[..., None] + jnp.arange(8, dtype=pdt)
-    w = arrs["bwt_words"][widx]  # (..., 8) uint32
+    # in-block popcount over 8 uint32 words (16 bases each); one row
+    # gather of 32 contiguous bytes per lane (bwa's interleaving rationale,
+    # lib/bwa/bwt.h:72-78, applied to HBM burst efficiency)
+    w = arrs["bwt_blocks"][blk]  # (..., 8) uint32
     c32 = c.astype(jnp.uint32)[..., None]
     hi = jnp.where((c32 & 2) != 0, w, ~w)
     lo = jnp.where((c32 & 1) != 0, w, ~w)
@@ -91,9 +91,13 @@ def occ(arrs, meta, k, c):
 
 def backward_ext(arrs, meta, k, l, c):
     """One backward-search step: [k, l] -> interval of c+pattern
-    (bwt_count_exact inner step, src/BWT.cpp:255-258)."""
-    ok = occ(arrs, meta, k - 1, c)
-    ol = occ(arrs, meta, l, c)
+    (bwt_count_exact inner step, src/BWT.cpp:255-258).
+
+    The two rank queries are stacked into ONE occ call so the block
+    gathers issue as a single larger gather (the TPU analogue of bwa's
+    bwt_2occ fusion, lib/bwa/bwt.c:132-166)."""
+    both = occ(arrs, meta, jnp.stack([k - 1, l]), c[None])
+    ok, ol = both[0], both[1]
     L2c = arrs["L2"][c].astype(jnp.asarray(k).dtype)
     return L2c + ok + 1, L2c + ol
 
@@ -112,6 +116,8 @@ def sa_lookup(arrs, meta, rows, valid):
     pdt = rows.dtype
     primary = meta["primary"]
     intv = meta["sa_intv"]
+    if intv == 1:  # full SA on device: locate is a single gather
+        return jnp.where(valid, arrs["sa_samp"][rows].astype(pdt), 0)
     mask = intv - 1
     log2_intv = int(intv).bit_length() - 1
 

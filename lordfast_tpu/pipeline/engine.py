@@ -46,17 +46,19 @@ class MappingEngine:
         self.arrs = idx.device_arrays()
         self.meta = idx.meta
         self.stats = {"reads": 0, "mapped": 0, "chunks": 0, "batches": 0}
+        # one jitted function for the whole device stage: eager op-by-op
+        # dispatch costs a host<->device roundtrip per op, which dominates
+        # wall time on remote/tunneled TPU backends
+        from ..parallel.mesh import device_pipeline
+        import jax
+        self._device_fn = jax.jit(
+            device_pipeline(self.arrs, self.meta, self.cfg)
+        )
 
     # ---- device stage ----
     def _device_stage(self, reads_arr: np.ndarray, lens: np.ndarray):
-        cfg = self.cfg
-        seeds = fm_ops.seed_anchors(self.arrs, self.meta, reads_arr, lens, cfg)
-        cands = vote_ops.vote_windows(seeds, lens, cfg)
-        k_windows = len(lens) * cfg.compact_windows_per_read
-        cw = chain_ops.compact_candidates(cands, cfg, k_windows)
-        ws = chain_ops.select_window_seeds(seeds, cw, lens, self.arrs, cfg)
-        chains = chain_ops.chain_dpn2(ws, cfg)
-        return seeds, cands, cw, chains
+        pos = fm_ops.sample_positions_host(lens, self.cfg.sampling_count)
+        return self._device_fn(reads_arr, lens, pos)
 
     # ---- per-read host resolution ----
     def _resolve_read(self, b: int, read: Read, cands, cw, chains,
@@ -124,6 +126,8 @@ class MappingEngine:
             )
 
     def _map_chunk(self, chunk: List[Read], out: TextIO):
+        import jax
+
         cfg = self.cfg
         # short reads are emitted unmapped without touching the device
         # (src/LordFAST.cpp:490-499)
@@ -132,7 +136,8 @@ class MappingEngine:
         order = sorted(range(len(work)), key=lambda i: len(work[i].seq))
         results = {}
         B = cfg.batch_reads
-        for s in range(0, len(order), B):
+
+        def dispatch(s):
             idxs = order[s : s + B]
             batch = [work[i] for i in idxs]
             self.stats["batches"] += 1
@@ -145,11 +150,12 @@ class MappingEngine:
                 codes = seq_to_codes(r.seq)
                 arr[j, : len(codes)] = codes
                 lens[j] = len(codes)
-            seeds, cands, cw, chains = self._device_stage(arr, lens)
-            # one device->host transfer per batch
-            cands = type(cands)(*[np.asarray(x) for x in cands])
-            cw = type(cw)(*[np.asarray(x) for x in cw])
-            chains = type(chains)(*[np.asarray(x) for x in chains])
+            _, cands, cw, chains = self._device_stage(arr, lens)
+            return idxs, batch, (cands, cw, chains)
+
+        def resolve(idxs, batch, dev):
+            # one device->host transfer per batch (seeds stay on device)
+            cands, cw, chains = jax.device_get(dev)
             rows_by_read = {}
             for k in range(len(cw.valid)):
                 if cw.valid[k]:
@@ -158,6 +164,18 @@ class MappingEngine:
                 results[i] = self._resolve_read(
                     j, batch[j], cands, cw, chains, rows_by_read
                 )
+
+        # software pipeline: keep up to `depth` batches in flight on the
+        # device so host stitching of batch k overlaps device compute of
+        # batch k+1 (JAX dispatch is async; device_get is the sync point)
+        depth = 2
+        inflight = []
+        for s in range(0, len(order), B):
+            inflight.append(dispatch(s))
+            if len(inflight) > depth:
+                resolve(*inflight.pop(0))
+        for item in inflight:
+            resolve(*item)
 
         wi = 0
         for r in chunk:
