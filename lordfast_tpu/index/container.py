@@ -132,10 +132,11 @@ class FMIndex:
 
         pdt = self.pos_dtype
         fwd_codes = unpack_pac(self.pac, 0, self.l_pac)
+        bwt_blocks = self.bwt_words.reshape(-1, 8)
         arrs = {
             "bwt_words": jnp.asarray(self.bwt_words),
             # block-major view for rank: one row = one 128-base block
-            "bwt_blocks": jnp.asarray(self.bwt_words.reshape(-1, 8)),
+            "bwt_blocks": jnp.asarray(bwt_blocks),
             "occ_cp": jnp.asarray(self.occ_cp),
             "sa_samp": jnp.asarray(self.sa_samp.astype(pdt)),
             "kcache_beg": jnp.asarray(self.kcache_beg.astype(pdt)),
@@ -147,6 +148,18 @@ class FMIndex:
                 (self.contig_offsets + self.contig_lengths).astype(pdt)
             ),
         }
+        # Fused rank row: [cp(A..T) | 8 BWT words] as one (n_blocks, 12)
+        # uint32 array, so a rank query is a single 48-byte row gather
+        # instead of two (checkpoint + block words).  Per-char counts fit
+        # uint32 whenever l_pac < 2^32 (fwd+revcomp mirror symmetry caps
+        # count(c) at l_pac); the kernels fall back to occ_cp/bwt_blocks
+        # for larger genomes.
+        if self.l_pac < 2**32:
+            nb = bwt_blocks.shape[0]
+            fused = np.empty((nb, 12), dtype=np.uint32)
+            fused[:, :4] = self.occ_cp[:nb].astype(np.uint32)
+            fused[:, 4:] = bwt_blocks
+            arrs["fm_blocks"] = jnp.asarray(fused)
         if sharding is not None:
             arrs = {k: jax.device_put(v, sharding) for k, v in arrs.items()}
         self._device = arrs

@@ -58,12 +58,23 @@ def occ(arrs, meta, k, c):
 
     blk = kp >> 7
     off = (kp & 127).astype(jnp.uint32)
-    base = arrs["occ_cp"][blk, c].astype(pdt)
+    if "fm_blocks" in arrs:
+        # fused layout: checkpoint + block words in ONE 48-byte row gather
+        row = arrs["fm_blocks"][blk]  # (..., 12) uint32
+        cp4 = row[..., :4]
+        lane4 = jnp.arange(4, dtype=jnp.uint32)
+        base = jnp.sum(
+            jnp.where(lane4 == c.astype(jnp.uint32)[..., None], cp4, 0),
+            axis=-1,
+        ).astype(pdt)
+        w = row[..., 4:12]
+    else:
+        base = arrs["occ_cp"][blk, c].astype(pdt)
 
-    # in-block popcount over 8 uint32 words (16 bases each); one row
-    # gather of 32 contiguous bytes per lane (bwa's interleaving rationale,
-    # lib/bwa/bwt.h:72-78, applied to HBM burst efficiency)
-    w = arrs["bwt_blocks"][blk]  # (..., 8) uint32
+        # in-block popcount over 8 uint32 words (16 bases each); one row
+        # gather of 32 contiguous bytes per lane (bwa's interleaving
+        # rationale, lib/bwa/bwt.h:72-78, applied to HBM burst efficiency)
+        w = arrs["bwt_blocks"][blk]  # (..., 8) uint32
     c32 = c.astype(jnp.uint32)[..., None]
     hi = jnp.where((c32 & 2) != 0, w, ~w)
     lo = jnp.where((c32 & 1) != 0, w, ~w)
@@ -179,12 +190,12 @@ def sample_positions_host(read_lens, sampling_count):
     jax.jit,
     static_argnames=(
         "meta_t", "sampling_count", "min_anchor_len", "max_ref_hits",
-        "max_seeds",
+        "max_seeds", "phase1_steps", "compact_frac",
     ),
 )
 def _seed_anchors_impl(
     arrs, reads, read_lens, pos, meta_t, sampling_count, min_anchor_len,
-    max_ref_hits, max_seeds,
+    max_ref_hits, max_seeds, phase1_steps=24, compact_frac=8,
 ):
     meta = dict(meta_t)
     pdt = jnp.int32 if meta["seq_len"] < 2**31 - 1 else jnp.int64
@@ -209,29 +220,75 @@ def _seed_anchors_impl(
     l0 = arrs["kcache_end"][ci].astype(pdt)
     alive0 = (~has_n) & (k0 <= l0) & (pos + kc <= read_lens[:, None])
 
-    # ---- lockstep greedy extension ----
+    # ---- lockstep greedy extension (two-phase) ----
+    # Most lanes stop extending early (noisy reads: anchor length is
+    # near-geometric past the cache k-mer), but a lockstep loop costs a
+    # full-width gather per step until the LAST lane finishes.  Phase 1
+    # runs `phase1_steps` full-width steps; phase 2 compacts the (few)
+    # still-alive lanes into a BS/compact_frac buffer and finishes only
+    # those, falling back to the full-width loop if more lanes survive
+    # (repeat-rich genomes).
     max_ext = MAX_ANCHOR_LEN
+    BS = B * S
+    b_lane = (jnp.arange(BS, dtype=jnp.int32) // S)  # flat lane -> read row
 
-    def cond(state):
-        return jnp.any(state[0])
+    def ext_loop_flat(alive, k, l, m, posf, bf, max_steps=None):
+        def cond(st):
+            out = jnp.any(st[0])
+            if max_steps is not None:
+                out = out & (st[4] < max_steps)
+            return out
 
-    def body(state):
-        alive, k, l, m = state
-        nxt_q = pos + m  # next read position to consume (B, S)
-        in_rd = nxt_q < read_lens[:, None]
-        nq = jnp.clip(nxt_q, 0, L - 1)
-        c = reads_i[jnp.arange(B)[:, None], nq]
-        ok_char = in_rd & (c < 4)
-        cc = jnp.where(ok_char, 3 - c, 0).astype(pdt)  # complemented base
-        nk, nl = backward_ext(arrs, meta, k, l, cc)
-        success = alive & ok_char & (nk <= nl) & (m < max_ext)
-        k = jnp.where(success, nk, k)
-        l = jnp.where(success, nl, l)
-        m = jnp.where(success, m + 1, m)
-        return success, k, l, m
+        def body(st):
+            alive, k, l, m, i = st
+            nxt_q = posf + m  # next read position to consume
+            in_rd = nxt_q < read_lens[bf]
+            nq = jnp.clip(nxt_q, 0, L - 1)
+            c = reads_i[bf, nq]
+            ok_char = in_rd & (c < 4)
+            cc = jnp.where(ok_char, 3 - c, 0).astype(pdt)  # complemented
+            nk, nl = backward_ext(arrs, meta, k, l, cc)
+            success = alive & ok_char & (nk <= nl) & (m < max_ext)
+            k = jnp.where(success, nk, k)
+            l = jnp.where(success, nl, l)
+            m = jnp.where(success, m + 1, m)
+            return success, k, l, m, i + 1
+
+        alive, k, l, m, _ = jax.lax.while_loop(
+            cond, body, (alive, k, l, m, jnp.int32(0))
+        )
+        return alive, k, l, m
 
     m0 = jnp.full((B, S), kc, dtype=jnp.int32)
-    _, kf, lf, mf = jax.lax.while_loop(cond, body, (alive0, k0, l0, m0))
+    pos_f = pos.reshape(BS)
+    a1, k1, l1, m1 = ext_loop_flat(
+        alive0.reshape(BS), k0.reshape(BS), l0.reshape(BS), m0.reshape(BS),
+        pos_f, b_lane, max_steps=phase1_steps,
+    )
+
+    C2 = min(BS, max(256, BS // compact_frac))
+    if C2 >= BS:
+        _, kf, lf, mf = ext_loop_flat(a1, k1, l1, m1, pos_f, b_lane)
+    else:
+        def compact_branch(st):
+            a, k, l, m = st
+            _, sel = jax.lax.top_k(a.astype(jnp.int32), C2)
+            _, k2, l2, m2 = ext_loop_flat(
+                a[sel], k[sel], l[sel], m[sel], pos_f[sel], b_lane[sel]
+            )
+            return k.at[sel].set(k2), l.at[sel].set(l2), m.at[sel].set(m2)
+
+        def full_branch(st):
+            a, k, l, m = st
+            _, k2, l2, m2 = ext_loop_flat(a, k, l, m, pos_f, b_lane)
+            return k2, l2, m2
+
+        kf, lf, mf = jax.lax.cond(
+            a1.sum() <= C2, compact_branch, full_branch, (a1, k1, l1, m1)
+        )
+    kf = kf.reshape(B, S)
+    lf = lf.reshape(B, S)
+    mf = mf.reshape(B, S)
 
     occ_cnt = jnp.where(alive0 & (kf <= lf), (lf - kf + 1).astype(jnp.int32), 0)
 
@@ -310,4 +367,6 @@ def seed_anchors(arrs, meta, reads, read_lens, cfg):
         cfg.min_anchor_len,
         cfg.max_ref_hits,
         cfg.max_seeds_per_read,
+        cfg.seed_phase1_steps,
+        cfg.seed_compact_frac,
     )

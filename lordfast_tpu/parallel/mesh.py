@@ -42,14 +42,39 @@ def device_pipeline(arrs, meta, cfg):
         seeds = fm_ops._seed_anchors_impl(
             arrs, reads, lens, pos, meta_t,
             cfg.sampling_count, cfg.min_anchor_len, cfg.max_ref_hits,
-            cfg.max_seeds_per_read,
+            cfg.max_seeds_per_read, cfg.seed_phase1_steps,
+            cfg.seed_compact_frac,
         )
         cands = vote_ops.vote_windows(seeds, lens, cfg)
         k_windows = reads.shape[0] * cfg.compact_windows_per_read
         cw = chain_ops.compact_candidates(cands, cfg, k_windows)
         ws = chain_ops.select_window_seeds(seeds, cw, lens, arrs, cfg)
         chains = chain_ops.chain_dpn2(ws, cfg)
-        return seeds, cands, cw, chains
+
+        # Host-bound results, trimmed on device: the host<->device link may
+        # be a tunnel at ~30 MB/s, so the chains tensor (K x N x 3 words)
+        # is cut to the first chain_transfer_cap slots with (qPos, len)
+        # packed into one int32 (qPos < 2^18 given SEQ_MAX_LENGTH=250k,
+        # len < 2^12 given the 12-bit Seed_t.len field).  Chains longer
+        # than the cap (rare, ultra-long reads) are fetched lazily from
+        # the full on-device tensor.
+        ncap = min(cfg.chain_transfer_cap, chains.q_pos.shape[-1])
+        packed = (chains.q_pos[:, :ncap].astype(jnp.int32) << 12) | (
+            chains.length[:, :ncap].astype(jnp.int32)
+        )
+        host_out = {
+            "cand_valid0": cands.valid[:, 0],
+            "is_fine": cands.is_fine,
+            "cw_read_idx": cw.read_idx,
+            "cw_cand_idx": cw.cand_idx,
+            "cw_is_rev": cw.is_rev,
+            "cw_valid": cw.valid,
+            "chain_len": chains.chain_len,
+            "chain_score": chains.score,
+            "chain_t": chains.t_pos[:, :ncap],
+            "chain_ql": packed,
+        }
+        return seeds, chains, host_out
 
     return fn
 

@@ -61,11 +61,27 @@ class MappingEngine:
         return self._device_fn(reads_arr, lens, pos)
 
     # ---- per-read host resolution ----
-    def _resolve_read(self, b: int, read: Read, cands, cw, chains,
+    def _chain_rows(self, out, chains_dev, k: int, n: int):
+        """Chain arrays for window row k: from the eagerly-transferred
+        trimmed tensors when the chain fits, else a lazy per-row fetch of
+        the full on-device tensor (rare: ultra-long reads)."""
+        if n <= out["chain_ql"].shape[1]:
+            ql = out["chain_ql"][k, :n]
+            return (ql >> 12).astype(np.int64), out["chain_t"][k, :n], \
+                (ql & 4095).astype(np.int64)
+        import jax
+
+        q, t, ln = jax.device_get(
+            (chains_dev.q_pos[k, :n], chains_dev.t_pos[k, :n],
+             chains_dev.length[k, :n])
+        )
+        return q, t, ln
+
+    def _resolve_read(self, b: int, read: Read, out, chains_dev,
                       rows_by_read) -> List[Mapping]:
         cfg = self.cfg
         read_len = len(read.seq)
-        if not cands.valid[b, 0]:
+        if not out["cand_valid0"][b]:
             return []  # no candidate windows -> unmapped
 
         rows = rows_by_read.get(b, [])
@@ -75,14 +91,17 @@ class MappingEngine:
             )
             return []
 
-        if not bool(cands.is_fine[b]):
+        is_fine = bool(out["is_fine"][b])
+        if not is_fine:
             # coarse: the single top-vote window (cand index 0)
-            selected = [k for k in rows if cw.cand_idx[k] == 0][:1]
+            selected = [k for k in rows if out["cw_cand_idx"][k] == 0][:1]
         else:
             # top max_map windows by chain score (the fine-mode heap,
             # src/LordFAST.cpp:819-904); ties by vote rank
             rows = sorted(
-                rows, key=lambda k: (-float(chains.score[k]), int(cw.cand_idx[k]))
+                rows,
+                key=lambda k: (-float(out["chain_score"][k]),
+                               int(out["cw_cand_idx"][k])),
             )
             selected = rows[: cfg.max_map]
 
@@ -91,21 +110,20 @@ class MappingEngine:
 
         mappings = []
         for k in selected:
-            n = int(chains.chain_len[k])
+            n = int(out["chain_len"][k])
             if n > 1:
-                query = rev if cw.is_rev[k] else fwd
+                is_rev = bool(out["cw_is_rev"][k])
+                query = rev if is_rev else fwd
+                cq, ct, cl = self._chain_rows(out, chains_dev, k, n)
                 m = align_and_score(
-                    chains.q_pos[k, :n],
-                    chains.t_pos[k, :n],
-                    chains.length[k, :n],
-                    query, read_len, bool(cw.is_rev[k]), self.idx, cfg,
+                    cq, ct, cl, query, read_len, is_rev, self.idx, cfg,
                 )
             else:
                 m = Mapping(records=[], total_score=-2 * read_len)
             mappings.append(m)
 
         # fine mode: sort by totalScore (compareSam, src/LordFAST.cpp:986)
-        if bool(cands.is_fine[b]):
+        if is_fine:
             mappings.sort(key=lambda m: -m.total_score)
         return mappings
 
@@ -150,19 +168,23 @@ class MappingEngine:
                 codes = seq_to_codes(r.seq)
                 arr[j, : len(codes)] = codes
                 lens[j] = len(codes)
-            _, cands, cw, chains = self._device_stage(arr, lens)
-            return idxs, batch, (cands, cw, chains)
+            _, chains_dev, host_out = self._device_stage(arr, lens)
+            return idxs, batch, (chains_dev, host_out)
 
         def resolve(idxs, batch, dev):
-            # one device->host transfer per batch (seeds stay on device)
-            cands, cw, chains = jax.device_get(dev)
+            # one device->host transfer per batch, trimmed on device
+            # (seeds and full chains stay on device)
+            chains_dev, host_out = dev
+            out = jax.device_get(host_out)
             rows_by_read = {}
-            for k in range(len(cw.valid)):
-                if cw.valid[k]:
-                    rows_by_read.setdefault(int(cw.read_idx[k]), []).append(k)
+            cw_valid = out["cw_valid"]
+            cw_read = out["cw_read_idx"]
+            for k in range(len(cw_valid)):
+                if cw_valid[k]:
+                    rows_by_read.setdefault(int(cw_read[k]), []).append(k)
             for j, i in enumerate(idxs):
                 results[i] = self._resolve_read(
-                    j, batch[j], cands, cw, chains, rows_by_read
+                    j, batch[j], out, chains_dev, rows_by_read
                 )
 
         # software pipeline: keep up to `depth` batches in flight on the
