@@ -93,10 +93,11 @@ class LordfastConfig:
     # allocates SAMPLING_COUNT*MAX_REF_HITS per-thread seed buffers; we
     # bound the padded per-read seed tensor instead) ----
     max_seeds_per_read: int = 4096  # flat (tPos,qPos,len) slots per strand
-    # two-phase anchor extension (ops/fm_index.py): full-width steps before
-    # compacting still-alive lanes to 1/compact_frac of the batch
-    seed_phase1_steps: int = 24
-    seed_compact_frac: int = 8
+    # staged anchor extension (ops/fm_index.py): run phase1_steps, compact
+    # the still-alive lanes to BS/compact_frac, and repeat with /3 smaller
+    # caps until the tail runs to completion
+    seed_phase1_steps: int = 12
+    seed_compact_frac: int = 3
     max_candidates: int = 32        # windows chained in fine mode per read
     compact_windows_per_read: int = 8  # avg chaining slots per read (K = B*this)
     max_chain_seeds: int = 512      # seeds entering the chaining DP / window

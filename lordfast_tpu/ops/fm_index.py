@@ -38,6 +38,14 @@ import jax.numpy as jnp
 MAX_ANCHOR_LEN = 4095
 
 
+def _occ_finish(arrs, res, c, is_total, is_none, pdt):
+    """Boundary handling shared by the occ layouts: k == seq_len returns
+    the char total, k < 0 returns 0 (bwt_occ, lib/bwa/bwt.c:109-112)."""
+    total = (arrs["L2"][c + 1] - arrs["L2"][c]).astype(pdt)
+    res = jnp.where(is_total, total, res)
+    return jnp.where(is_none, 0, res)
+
+
 def occ(arrs, meta, k, c):
     """Occ(c, k): count of char c in the $-removed BWT prefix at row k.
 
@@ -59,15 +67,36 @@ def occ(arrs, meta, k, c):
     blk = kp >> 7
     off = (kp & 127).astype(jnp.uint32)
     if "fm_blocks" in arrs:
-        # fused layout: checkpoint + block words in ONE 48-byte row gather
+        # fused layout: checkpoint + block words in ONE 48-byte row gather.
+        # The checkpoint select and the in-block popcount are folded into a
+        # single 12-lane reduction so XLA keeps them in one gather fusion
+        # (two separate reduces get split into two 128k-row gathers).
         row = arrs["fm_blocks"][blk]  # (..., 12) uint32
-        cp4 = row[..., :4]
-        lane4 = jnp.arange(4, dtype=jnp.uint32)
-        base = jnp.sum(
-            jnp.where(lane4 == c.astype(jnp.uint32)[..., None], cp4, 0),
-            axis=-1,
-        ).astype(pdt)
-        w = row[..., 4:12]
+        lane12 = jnp.arange(12, dtype=jnp.int32)
+        c32 = c.astype(jnp.uint32)[..., None]
+        hi = jnp.where((c32 & 2) != 0, row, ~row)
+        lo = jnp.where((c32 & 1) != 0, row, ~row)
+        matched = (hi >> jnp.uint32(1)) & lo & jnp.uint32(0x55555555)
+
+        f = (off >> 4).astype(jnp.int32)[..., None]  # word holding the row
+        r = (off & 15)[..., None]
+        wlane = lane12 - 4
+        partial = (
+            ~((jnp.uint32(1) << ((jnp.uint32(15) - r) << 1)) - 1)
+        ).astype(jnp.uint32)
+        cover = jnp.where(
+            wlane < f,
+            jnp.uint32(0xFFFFFFFF),
+            jnp.where(wlane == f, partial, jnp.uint32(0)),
+        )
+        pc = jax.lax.population_count(matched & cover)
+        contrib = jnp.where(
+            lane12 < 4,
+            jnp.where(lane12 == c.astype(jnp.int32)[..., None], row, 0),
+            pc,
+        )
+        return _occ_finish(arrs, contrib.sum(axis=-1).astype(pdt),
+                           c, is_total, is_none, pdt)
     else:
         base = arrs["occ_cp"][blk, c].astype(pdt)
 
@@ -202,23 +231,9 @@ def _seed_anchors_impl(
     B, L = reads.shape
     S = sampling_count
     kc = meta["kcache_k"]
+    assert kc <= 17, "k-mer cache k must fit a 2-word read window"
     l_pac = meta["l_pac"]
     reads_i = reads.astype(jnp.int32)
-
-    # ---- k-mer cache lookup on revcomp(anchor[0:kc]) ----
-    # cache index = sum_j comp(read[p+j]) * 4^(kc-1-j)  (see module doc;
-    # encoding matches bwt_count_exact_cached, src/BWT.cpp:270-277)
-    j = jnp.arange(kc)
-    gpos = pos[..., None] + j  # (B, S, kc)
-    in_range = gpos < read_lens[:, None, None]
-    ch = jnp.where(in_range, reads_i[jnp.arange(B)[:, None, None], gpos], 4)
-    has_n = jnp.any(ch >= 4, axis=-1)
-    comp = jnp.where(ch < 4, 3 - ch, 0)
-    weights = (4 ** (kc - 1 - j)).astype(pdt)
-    ci = (comp.astype(pdt) * weights).sum(-1)  # (B, S)
-    k0 = arrs["kcache_beg"][ci].astype(pdt)
-    l0 = arrs["kcache_end"][ci].astype(pdt)
-    alive0 = (~has_n) & (k0 <= l0) & (pos + kc <= read_lens[:, None])
 
     # ---- lockstep greedy extension (two-phase) ----
     # Most lanes stop extending early (noisy reads: anchor length is
@@ -232,6 +247,77 @@ def _seed_anchors_impl(
     BS = B * S
     b_lane = (jnp.arange(BS, dtype=jnp.int32) // S)  # flat lane -> read row
 
+    # Packed read words: 16 chars x 3 bits in one uint64, so the per-step
+    # per-lane read-char fetch (a full-width gather, ~20% of the loop) is
+    # replaced by a 2-word window refill every 16 steps.
+    Lp = ((L + 15) // 16) * 16
+    reads_p = reads_i if Lp == L else jnp.pad(
+        reads_i, ((0, 0), (0, Lp - L)), constant_values=4
+    )
+    W16 = Lp // 16
+    j16 = jnp.arange(16, dtype=jnp.uint64)
+    rw = (
+        reads_p.reshape(B, W16, 16).astype(jnp.uint64)
+        << (3 * (15 - j16))
+    ).sum(-1, dtype=jnp.uint64)  # (B, W16)
+
+    # ---- k-mer cache lookup on revcomp(anchor[0:kc]) ----
+    # cache index = sum_j comp(read[p+j]) * 4^(kc-1-j)  (encoding matches
+    # bwt_count_exact_cached, src/BWT.cpp:270-277).  The kc chars come out
+    # of the same 2-word packed window the extension loop uses — one u64
+    # row gather per word instead of a (B, S, kc) element gather.
+    pos_f = pos.reshape(BS)
+    q0 = jnp.clip(pos_f, 0, L - 1)
+    w0 = q0 >> 4
+    lo0 = rw[b_lane, w0]
+    hi0 = rw[b_lane, jnp.minimum(w0 + 1, W16 - 1)]
+    jj = jnp.arange(kc, dtype=jnp.int32)
+    qj = pos_f[:, None] + jj  # (BS, kc)
+    word = jnp.where((qj >> 4) == w0[:, None], lo0[:, None], hi0[:, None])
+    ch = (
+        (word >> (3 * (15 - (qj & 15))).astype(jnp.uint64)) & jnp.uint64(7)
+    ).astype(jnp.int32)
+    in_range = qj < read_lens[b_lane][:, None]
+    ch = jnp.where(in_range, ch, 4)
+    has_n = jnp.any(ch >= 4, axis=-1)
+    comp = jnp.where(ch < 4, 3 - ch, 0)
+    weights = (4 ** (kc - 1 - jj)).astype(pdt)
+    ci = (comp.astype(pdt) * weights).sum(-1)  # (BS,)
+    k0 = arrs["kcache_beg"][ci].astype(pdt)
+    l0 = arrs["kcache_end"][ci].astype(pdt)
+    alive0 = (~has_n) & (k0 <= l0) & (pos_f + kc <= read_lens[b_lane])
+
+    def _ext_body(st, posf, bf):
+        alive, k, l, m, i, lo, hi, bw = st
+
+        def refill(_):
+            q0 = jnp.clip(posf + m, 0, L - 1)
+            w0 = q0 >> 4
+            w1 = jnp.minimum(w0 + 1, W16 - 1)
+            return rw[bf, w0], rw[bf, w1], w0
+
+        lo, hi, bw = jax.lax.cond(
+            i % 16 == 0, refill, lambda _: (lo, hi, bw), None
+        )
+        q = posf + m  # next read position to consume
+        in_rd = q < read_lens[bf]
+        qc = jnp.clip(q, 0, L - 1)
+        word = jnp.where((qc >> 4) == bw, lo, hi)
+        shift = (3 * (15 - (qc & 15))).astype(jnp.uint64)
+        c = ((word >> shift) & jnp.uint64(7)).astype(jnp.int32)
+        ok_char = in_rd & (c < 4)
+        cc = jnp.where(ok_char, 3 - c, 0).astype(pdt)  # complemented
+        nk, nl = backward_ext(arrs, meta, k, l, cc)
+        success = alive & ok_char & (nk <= nl) & (m < max_ext)
+        k = jnp.where(success, nk, k)
+        l = jnp.where(success, nl, l)
+        m = jnp.where(success, m + 1, m)
+        return success, k, l, m, i + 1, lo, hi, bw
+
+    def _carry0(alive, k, l, m):
+        z64 = jnp.zeros_like(m, dtype=jnp.uint64)
+        return (alive, k, l, m, jnp.int32(0), z64, z64, jnp.zeros_like(m))
+
     def ext_loop_flat(alive, k, l, m, posf, bf, max_steps=None):
         def cond(st):
             out = jnp.any(st[0])
@@ -239,58 +325,54 @@ def _seed_anchors_impl(
                 out = out & (st[4] < max_steps)
             return out
 
-        def body(st):
-            alive, k, l, m, i = st
-            nxt_q = posf + m  # next read position to consume
-            in_rd = nxt_q < read_lens[bf]
-            nq = jnp.clip(nxt_q, 0, L - 1)
-            c = reads_i[bf, nq]
-            ok_char = in_rd & (c < 4)
-            cc = jnp.where(ok_char, 3 - c, 0).astype(pdt)  # complemented
-            nk, nl = backward_ext(arrs, meta, k, l, cc)
-            success = alive & ok_char & (nk <= nl) & (m < max_ext)
-            k = jnp.where(success, nk, k)
-            l = jnp.where(success, nl, l)
-            m = jnp.where(success, m + 1, m)
-            return success, k, l, m, i + 1
-
-        alive, k, l, m, _ = jax.lax.while_loop(
-            cond, body, (alive, k, l, m, jnp.int32(0))
+        st = jax.lax.while_loop(
+            cond, lambda st: _ext_body(st, posf, bf), _carry0(alive, k, l, m)
         )
-        return alive, k, l, m
+        return st[0], st[1], st[2], st[3]
 
-    m0 = jnp.full((B, S), kc, dtype=jnp.int32)
-    pos_f = pos.reshape(BS)
-    a1, k1, l1, m1 = ext_loop_flat(
-        alive0.reshape(BS), k0.reshape(BS), l0.reshape(BS), m0.reshape(BS),
-        pos_f, b_lane, max_steps=phase1_steps,
-    )
-
-    C2 = min(BS, max(256, BS // compact_frac))
-    if C2 >= BS:
-        _, kf, lf, mf = ext_loop_flat(a1, k1, l1, m1, pos_f, b_lane)
-    else:
-        def compact_branch(st):
-            a, k, l, m = st
-            _, sel = jax.lax.top_k(a.astype(jnp.int32), C2)
-            _, k2, l2, m2 = ext_loop_flat(
-                a[sel], k[sel], l[sel], m[sel], pos_f[sel], b_lane[sel]
-            )
-            return k.at[sel].set(k2), l.at[sel].set(l2), m.at[sel].set(m2)
-
-        def full_branch(st):
-            a, k, l, m = st
-            _, k2, l2, m2 = ext_loop_flat(a, k, l, m, pos_f, b_lane)
+    def staged_ext(alive, k, l, m, posf, bf, caps):
+        """Run `phase1_steps` steps at the current width, then compact the
+        alive lanes to caps[0] and recurse; when more lanes than the cap
+        survive (repeat-rich genomes) finish at the current width instead.
+        The last level runs to completion."""
+        if not caps:
+            _, k2, l2, m2 = ext_loop_flat(alive, k, l, m, posf, bf)
             return k2, l2, m2
-
-        kf, lf, mf = jax.lax.cond(
-            a1.sum() <= C2, compact_branch, full_branch, (a1, k1, l1, m1)
+        alive, k, l, m = ext_loop_flat(
+            alive, k, l, m, posf, bf, max_steps=phase1_steps
         )
+        cap = caps[0]
+
+        def take(st):
+            a2, k2, l2, m2 = st
+            _, sel = jax.lax.top_k(a2.astype(jnp.int32), cap)
+            rk, rl, rm = staged_ext(
+                a2[sel], k2[sel], l2[sel], m2[sel], posf[sel], bf[sel],
+                caps[1:],
+            )
+            return k2.at[sel].set(rk), l2.at[sel].set(rl), m2.at[sel].set(rm)
+
+        def fall(st):
+            a2, k2, l2, m2 = st
+            _, k3, l3, m3 = ext_loop_flat(a2, k2, l2, m2, posf, bf)
+            return k3, l3, m3
+
+        return jax.lax.cond(alive.sum() <= cap, take, fall, (alive, k, l, m))
+
+    m0 = jnp.full((BS,), kc, dtype=jnp.int32)
+    caps = []
+    c = BS // compact_frac
+    while c > 512:
+        caps.append(max(c, 256))
+        c //= 3
+    kf, lf, mf = staged_ext(alive0, k0, l0, m0, pos_f, b_lane, caps)
     kf = kf.reshape(B, S)
     lf = lf.reshape(B, S)
     mf = mf.reshape(B, S)
 
-    occ_cnt = jnp.where(alive0 & (kf <= lf), (lf - kf + 1).astype(jnp.int32), 0)
+    occ_cnt = jnp.where(
+        alive0.reshape(B, S) & (kf <= lf), (lf - kf + 1).astype(jnp.int32), 0
+    )
 
     # ---- acceptance: occ in (0, max_ref_hits), length >= min, not
     # contained (sequential last_pos scan, src/BWT.cpp:345,386) ----
@@ -315,14 +397,20 @@ def _seed_anchors_impl(
     total = occ_acc.sum(axis=1)  # (B,)
 
     slot = jnp.arange(max_seeds, dtype=jnp.int32)
-    # anchor owning slot t: the last s with starts[s] <= t.  Zero-count
-    # anchors share their start with the next real anchor, so side="right"
-    # - 1 always lands on an accepted anchor for any t < total.
-    sidx = jax.vmap(
-        lambda st, t: jnp.searchsorted(st, t, side="right") - 1
-    )(starts, jnp.broadcast_to(slot[None, :], (B, max_seeds)))
-    sidx = jnp.clip(sidx, 0, S - 1)
     bidx = jnp.arange(B)[:, None]
+    # anchor owning slot t: the last accepted anchor s with starts[s] <= t.
+    # Accepted anchors with occ > 0 have strictly increasing starts, so a
+    # scatter of s at starts[s] followed by a running max gives the owner
+    # of every slot directly — O(S + max_seeds) instead of the O(max_seeds
+    # log S) batched binary search (a 27 ms vmap'd while-loop on TPU).
+    has_occ = accept & (occ_acc > 0)
+    tgt = jnp.where(has_occ & (starts < max_seeds), starts, max_seeds)
+    scat = jnp.full((B, max_seeds), -1, jnp.int32)
+    scat = scat.at[bidx, tgt].max(
+        jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S)),
+        mode="drop",
+    )
+    sidx = jnp.clip(jax.lax.cummax(scat, axis=1), 0, S - 1)
     slot_valid = slot[None, :] < total[:, None]
     row = kf[bidx, sidx].astype(pdt) + (slot - starts[bidx, sidx]).astype(pdt)
     row = jnp.where(slot_valid, row, 0)
