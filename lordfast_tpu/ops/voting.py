@@ -33,22 +33,30 @@ class CandidateBatch(NamedTuple):
 
 
 def vote_windows(seeds, read_lens, cfg):
-    """seeds: SeedBatch; read_lens: (B,) int32."""
+    """seeds: SeedBatch; read_lens: (B,) int32.
+
+    Scatter-free: after the per-read key sort, segment totals and the
+    left/right-neighbor local-maximum checks are computed with prefix
+    scans (cumsum/cummax propagation within sorted segments) — scatters
+    of (B, 2*MS) elements are ~10x the cost of scans on TPU.
+    """
     B, MS = seeds.t_pos.shape
     C = cfg.max_candidates
+    n2 = 2 * MS
 
     rl = jnp.maximum(read_lens, 1).astype(jnp.int64)[:, None]
-    win = (seeds.t_pos.astype(jnp.int64) // rl).astype(jnp.int64)
+    win = (seeds.t_pos.astype(jnp.int64) // rl).astype(jnp.int32)
     weight = (1 + seeds.length - cfg.min_anchor_len).astype(jnp.int32)
-    strand = seeds.is_rev.astype(jnp.int64)
+    strand = seeds.is_rev.astype(jnp.int32)
 
     # two votes per seed: winId and winId-1 (skip winId-1 < 0).
-    # strand in the high bits: same-strand windows stay adjacent in the
-    # sorted key space so packed-neighbor checks see winId +- 1.
-    BIGW = jnp.int64(2**40)
+    # strand in the high bit: same-strand windows stay adjacent in the
+    # sorted key space so neighbor checks see winId +- 1.  Keys fit int32:
+    # win < l_pac / min_read_len(>=100) < 2^30 for any supported genome.
+    BIGW = jnp.int32(2**30)
     key0 = strand * BIGW + win
     key1 = strand * BIGW + (win - 1)
-    SENT = jnp.int64(2**62)
+    SENT = jnp.int32(2**31 - 1)
     keys = jnp.concatenate(
         [
             jnp.where(seeds.valid, key0, SENT),
@@ -61,41 +69,45 @@ def vote_windows(seeds, read_lens, cfg):
 
     keys_s, wts_s = jax.lax.sort((keys, wts), num_keys=1)
 
-    # segment boundaries / ids
-    prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int64), keys_s[:, :-1]], 1)
-    is_start = (keys_s != prev) & (keys_s != SENT)
-    gid = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1  # (B, 2MS)
-    n2 = keys.shape[1]
+    ok = keys_s != SENT
+    prv = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), keys_s[:, :-1]], 1)
+    nxt = jnp.concatenate([keys_s[:, 1:], jnp.full((B, 1), SENT, jnp.int32)], 1)
+    is_start = (keys_s != prv) & ok
+    is_end = (keys_s != nxt) & ok
 
-    # densely packed per-read group tables via scatter on gid
-    bidx = jnp.arange(B)[:, None].repeat(n2, 1)
-    safe_gid = jnp.where(keys_s == SENT, n2 - 1, gid)
-    g_total = jnp.zeros((B, n2), jnp.int32).at[bidx, safe_gid].add(
-        jnp.where(keys_s == SENT, 0, wts_s)
+    # full segment total, propagated to every member:
+    # total(e) = cumsum at segment end - cumsum at start-1, both obtained
+    # by monotone cummax propagation (cumsum is nondecreasing).
+    cw = jnp.cumsum(wts_s, axis=1)
+    startm1 = jax.lax.cummax(jnp.where(is_start, cw - wts_s, 0), axis=1)
+    part = cw - startm1  # partial total; full at segment ends
+    # backward propagation of the end value to all members: encode
+    # (reverse position, value) so cummax picks the nearest end's total
+    pos_r = jnp.arange(n2 - 1, -1, -1, dtype=jnp.int64)[None, :]
+    enc = jnp.where(is_end, pos_r * jnp.int64(2**32) + part.astype(jnp.int64),
+                    jnp.int64(-1))
+    enc = jax.lax.cummax(enc[:, ::-1], axis=1)[:, ::-1]
+    total = (enc & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+
+    tot_prev = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), total[:, :-1]], 1)
+    tot_next = jnp.concatenate([total[:, 1:], jnp.zeros((B, 1), jnp.int32)], 1)
+    w_id = keys_s % BIGW
+    # local maximum (src/LordFAST.cpp:630-632); absent neighbors pass.
+    # left check is local at segment starts (prv is the previous segment's
+    # last position), right check at segment ends; the start verdict is
+    # propagated to the end by another monotone cummax.
+    left_ok = (w_id == 0) | (prv != keys_s - 1) | (total >= tot_prev)
+    pos_f = jnp.arange(n2, dtype=jnp.int32)[None, :]
+    lenc = jax.lax.cummax(
+        jnp.where(is_start, pos_f * 2 + left_ok.astype(jnp.int32), -1), axis=1
     )
-    g_key = jnp.full((B, n2), SENT, jnp.int64).at[bidx, safe_gid].min(
-        jnp.where(keys_s == SENT, SENT, keys_s)
-    )
+    left_ok_e = (lenc & 1) == 1
+    right_ok = (nxt != keys_s + 1) | (total > tot_next)
+    is_max = is_end & left_ok_e & right_ok
 
-    # neighbor counts: adjacent packed groups with key +-2 (same strand)
-    left_key = jnp.concatenate([jnp.full((B, 1), SENT, jnp.int64), g_key[:, :-1]], 1)
-    left_tot = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), g_total[:, :-1]], 1)
-    right_key = jnp.concatenate([g_key[:, 1:], jnp.full((B, 1), SENT, jnp.int64)], 1)
-    right_tot = jnp.concatenate([g_total[:, 1:], jnp.zeros((B, 1), jnp.int32)], 1)
-
-    has_left = left_key == g_key - 1
-    has_right = right_key == g_key + 1
-    w_id = (g_key % BIGW).astype(jnp.int32)
-    # local maximum (src/LordFAST.cpp:630-632); absent neighbors pass
-    is_max = (
-        (g_key != SENT)
-        & ((w_id == 0) | ~has_left | (g_total >= left_tot))
-        & (~has_right | (g_total > right_tot))
-    )
-
-    score = jnp.where(is_max, g_total, -1)
+    score = jnp.where(is_max, total, -1)
     top_cnt, top_pos = jax.lax.top_k(score, C)  # ties: lowest index first
-    top_key = jnp.take_along_axis(g_key, top_pos, axis=1)
+    top_key = jnp.take_along_axis(keys_s, top_pos, axis=1)
     valid = top_cnt > 0
 
     best = top_cnt[:, 0].astype(jnp.float32)
