@@ -35,6 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chainPenalty", "-p", type=float, default=11.4)
     p.add_argument("--gapPenalty", "-g", type=float, default=0.15)
     p.add_argument("--version", "-v", action="store_true")
+    # ---- TPU-build additions (aux subsystems, SURVEY.md §5) ----
+    p.add_argument("--resume", action="store_true",
+                   help="resume an interrupted --search run at the last "
+                        "completed chunk (requires --out)")
+    p.add_argument("--verbose", "-d", type=int, default=0, metavar="N",
+                   help="runtime verbosity 0-3 (reference VERBOSITY builds)")
+    p.add_argument("--profile", default="", metavar="DIR",
+                   help="write a jax.profiler trace of the mapping run")
     return p
 
 
@@ -91,6 +99,7 @@ def config_from_args(args) -> LordfastConfig:
         read_group_id=rg_id,
         no_sam_header=args.noSamHeader,
         num_threads=args.threads,
+        verbosity=args.verbose,
     ).validate()
 
 
@@ -137,11 +146,32 @@ def main(argv=None) -> int:
 
     engine = MappingEngine(idx, cfg)
     cmdline = "lordfast-tpu " + " ".join(argv)
-    if args.out:
-        with open(args.out, "w") as out:
-            engine.map_file(args.seq, out, cmdline)
-    else:
-        engine.map_file(args.seq, sys.stdout, cmdline)
+    from .utils.checkpoint import ChunkProgress
+    from .utils.metrics import profiler_trace
+
+    progress = None
+    mode = "w"
+    if args.out and args.resume:
+        progress = ChunkProgress(args.out, str(args.seq))
+        if progress.load() >= 0:
+            mode = "a"
+            print(
+                f"[NOTE] resuming after chunk {progress.last_done}",
+                file=sys.stderr,
+            )
+    elif args.resume:
+        print("[WARNING] --resume requires --out; ignoring", file=sys.stderr)
+    if args.out and progress is None:
+        progress = ChunkProgress(args.out, str(args.seq))
+
+    with profiler_trace(args.profile):
+        if args.out:
+            with open(args.out, mode) as out:
+                engine.map_file(args.seq, out, cmdline, progress=progress)
+        else:
+            engine.map_file(args.seq, sys.stdout, cmdline)
+    if cfg.verbosity >= 1:
+        print("[metrics] " + engine.metrics.to_json(), file=sys.stderr)
     print(
         f"[NOTE] processed {engine.stats['reads']} reads "
         f"({engine.stats['mapped']} mapped)",

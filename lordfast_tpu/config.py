@@ -107,6 +107,10 @@ class LordfastConfig:
 
     # ---- runtime ----
     num_threads: int = 0            # host worker threads (0 = auto)
+    # runtime verbosity: replaces the reference's compile-time VERBOSITY
+    # levels 0-3 (src/Common.h:33-49, Makefile:3-8); level 1 = per-chunk
+    # stage counters, 2 = per-read candidates/chains, 3 = per-gap DP
+    verbosity: int = 0
 
     def validate(self) -> "LordfastConfig":
         """Range checks mirroring src/CommandLineParser.cpp:274-293."""

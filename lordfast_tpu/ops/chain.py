@@ -170,53 +170,12 @@ def _dp_dtype(cfg):
     return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
 
 
-def chain_dpn2(ws: WindowSeeds, cfg) -> ChainBatch:
-    lead = ws.q_pos.shape[:-1]
-    N = ws.q_pos.shape[-1]
-    W = int(np.prod(lead)) if lead else 1
-    q = ws.q_pos.reshape(W, N).astype(jnp.int32)
-    t = ws.t_pos.reshape(W, N).astype(jnp.int64)
-    ln = ws.length.reshape(W, N).astype(jnp.int32)
-    ok = ws.valid.reshape(W, N)
-    fdt = _dp_dtype(cfg)
-
-    reward = jnp.asarray(cfg.chain_reward * cfg.min_anchor_len, fdt)
+def _finish_chains(ws, dp, prev, q, t, ln, ok, lead, W, N) -> ChainBatch:
+    """Shared epilogue for the chaining DPs: pick the best chain end
+    (smallest index among score ties, matching the reference's ascending
+    scan with strict >, src/Chain.cpp:289-293), backtrack through prev[],
+    and emit the chain in ascending-qPos order."""
     jidx = jnp.arange(N, dtype=jnp.int32)
-
-    q_end = q + ln - 1  # qPos_j + len_j - 1
-    t_end = t + ln - 1
-
-    def step(carry, i):
-        dp, prev = carry
-        dist_r = q[:, i][:, None] - q_end  # (W, N)
-        dist_t = (t[:, i][:, None] - t_end).astype(jnp.int32)
-        can = ok & (jidx[None, :] < i) & (dist_r > 0) & (dist_t > 0)
-        d = jnp.abs(dist_r - dist_t)
-        pen = jnp.where(
-            d <= 1,
-            jnp.asarray(0.0, fdt),
-            0.1 * d.astype(fdt)
-            + cfg.chain_penalty * jnp.log(jnp.maximum(d, 2).astype(fdt)),
-        )
-        val = jnp.where(can, dp + reward - pen, -jnp.inf)
-        base = ln[:, i].astype(fdt)
-        best = jnp.max(val, axis=1)
-        take = best > base  # strict, like dp[j]+a-b > dp[i] (Chain.cpp:275)
-        # predecessor: largest j among ties (reference scans j descending
-        # with strict >)
-        is_best = val == best[:, None]
-        pj = jnp.max(jnp.where(is_best, jidx[None, :], -1), axis=1)
-        dp_i = jnp.where(take, best, base)
-        prev_i = jnp.where(take, pj, -1)
-        dp = dp.at[:, i].set(jnp.where(ok[:, i], dp_i, -jnp.inf))
-        prev = prev.at[:, i].set(jnp.where(ok[:, i], prev_i, -1))
-        return (dp, prev), None
-
-    dp0 = jnp.full((W, N), -jnp.inf, fdt)
-    prev0 = jnp.full((W, N), -1, jnp.int32)
-    (dp, prev), _ = jax.lax.scan(step, (dp0, prev0), jnp.arange(N))
-
-    # best end: smallest i among ties (ascending scan, strict >)
     best_score = jnp.max(dp, axis=1)
     any_ok = jnp.any(ok, axis=1)
     best_i = jnp.argmax(dp == best_score[:, None], axis=1).astype(jnp.int32)
@@ -258,3 +217,124 @@ def chain_dpn2(ws: WindowSeeds, cfg) -> ChainBatch:
         chain_len=jnp.where(any_ok, clen, 0).reshape(lead),
         score=score.reshape(lead),
     )
+
+
+def _flatten_ws(ws):
+    lead = ws.q_pos.shape[:-1]
+    N = ws.q_pos.shape[-1]
+    W = int(np.prod(lead)) if lead else 1
+    q = ws.q_pos.reshape(W, N).astype(jnp.int32)
+    t = ws.t_pos.reshape(W, N).astype(jnp.int64)
+    ln = ws.length.reshape(W, N).astype(jnp.int32)
+    ok = ws.valid.reshape(W, N)
+    return lead, N, W, q, t, ln, ok
+
+
+def chain_seeds(ws: WindowSeeds, cfg) -> ChainBatch:
+    """Dispatch on cfg.chain_alg (--chainAlg, src/CommandLineParser.cpp:216;
+    call sites src/LordFAST.cpp:1030-1050,1119-1135)."""
+    from ..config import ChainAlg
+
+    if cfg.chain_alg == ChainAlg.CLASP:
+        return chain_clasp_sop(ws, cfg)
+    return chain_dpn2(ws, cfg)
+
+
+def chain_dpn2(ws: WindowSeeds, cfg) -> ChainBatch:
+    lead, N, W, q, t, ln, ok = _flatten_ws(ws)
+    fdt = _dp_dtype(cfg)
+
+    reward = jnp.asarray(cfg.chain_reward * cfg.min_anchor_len, fdt)
+    jidx = jnp.arange(N, dtype=jnp.int32)
+
+    q_end = q + ln - 1  # qPos_j + len_j - 1
+    t_end = t + ln - 1
+
+    def step(carry, i):
+        dp, prev = carry
+        dist_r = q[:, i][:, None] - q_end  # (W, N)
+        dist_t = (t[:, i][:, None] - t_end).astype(jnp.int32)
+        can = ok & (jidx[None, :] < i) & (dist_r > 0) & (dist_t > 0)
+        d = jnp.abs(dist_r - dist_t)
+        pen = jnp.where(
+            d <= 1,
+            jnp.asarray(0.0, fdt),
+            0.1 * d.astype(fdt)
+            + cfg.chain_penalty * jnp.log(jnp.maximum(d, 2).astype(fdt)),
+        )
+        val = jnp.where(can, dp + reward - pen, -jnp.inf)
+        base = ln[:, i].astype(fdt)
+        best = jnp.max(val, axis=1)
+        take = best > base  # strict, like dp[j]+a-b > dp[i] (Chain.cpp:275)
+        # predecessor: largest j among ties (reference scans j descending
+        # with strict >)
+        is_best = val == best[:, None]
+        pj = jnp.max(jnp.where(is_best, jidx[None, :], -1), axis=1)
+        dp_i = jnp.where(take, best, base)
+        prev_i = jnp.where(take, pj, -1)
+        dp = dp.at[:, i].set(jnp.where(ok[:, i], dp_i, -jnp.inf))
+        prev = prev.at[:, i].set(jnp.where(ok[:, i], prev_i, -1))
+        return (dp, prev), None
+
+    dp0 = jnp.full((W, N), -jnp.inf, fdt)
+    prev0 = jnp.full((W, N), -1, jnp.int32)
+    (dp, prev), _ = jax.lax.scan(step, (dp0, prev0), jnp.arange(N))
+    return _finish_chains(ws, dp, prev, q, t, ln, ok, lead, W, N)
+
+
+def chain_clasp_sop(ws: WindowSeeds, cfg) -> ChainBatch:
+    """clasp sum-of-pairs local chaining (chain_seeds_clasp,
+    src/Chain.cpp:39-209 -> bl_slClusterSop/bl_slChainSop,
+    lib/clasp/slchain.c:568-828), reimplemented as a masked O(n^2) DP —
+    SURVEY.md §2.4: the sweep-line + layered range tree is the reference's
+    *data structure*; the chaining semantics are the spec.
+
+    Semantics (lib/clasp/slchain.h:29-56):
+      fragment score   scr = len                       (src/Chain.cpp:71-76)
+      precedence       FEND_S(j) < FSTART_S(i) and FEND_Q(j) < FSTART_Q(i)
+                       (strict, both axes — octants O_1/O_2 of Abouelhoda)
+      gap cost  GSOP(i,j) = lambda*max(DX,DY) + (eps-lambda)*min(DX,DY),
+                DX = tStart_i - tEnd_j - 1, DY = qStart_i - qEnd_j - 1
+      chain score      dp[i] = scr_i + max_j(dp[j] - GSOP(i,j))
+      local reset      predecessor dropped when dp[j] < GSOP (slchain.c:719)
+      defaults         eps=0, lambda=0.15, maxgap off (src/Chain.cpp:52-55)
+    Deterministic tie-breaks (the reference's depend on malloc'd tree
+    layout): predecessor = largest j among ties; chain end = smallest i.
+    """
+    lead, N, W, q, t, ln, ok = _flatten_ws(ws)
+    fdt = _dp_dtype(cfg)
+    lam = jnp.asarray(cfg.clasp_lambda, fdt)
+    eps = jnp.asarray(cfg.clasp_epsilon, fdt)
+    jidx = jnp.arange(N, dtype=jnp.int32)
+
+    q_end = q + ln - 1
+    t_end = t + ln - 1
+    scr = ln.astype(fdt)
+
+    def step(carry, i):
+        dp, prev = carry
+        dy = q[:, i][:, None] - q_end - 1        # (W, N) DY
+        dx = (t[:, i][:, None] - t_end - 1).astype(jnp.int32)
+        can = ok & (jidx[None, :] < i) & (dy >= 0) & (dx >= 0)
+        dxf = dx.astype(fdt)
+        dyf = dy.astype(fdt)
+        gsop = lam * jnp.maximum(dxf, dyf) + (eps - lam) * jnp.minimum(
+            dxf, dyf
+        )
+        val = jnp.where(can, dp - gsop, -jnp.inf)
+        best = jnp.max(val, axis=1)
+        # local chaining: keep the link only while dp[j] >= GSOP (strict <
+        # drops it, slchain.c:717-721) i.e. best >= 0
+        take = best >= 0
+        is_best = val == best[:, None]
+        pj = jnp.max(jnp.where(is_best, jidx[None, :], -1), axis=1)
+        dp_i = scr[:, i] + jnp.maximum(best, 0.0)
+        prev_i = jnp.where(take, pj, -1)
+        dp = dp.at[:, i].set(jnp.where(ok[:, i], dp_i, -jnp.inf))
+        prev = prev.at[:, i].set(jnp.where(ok[:, i], prev_i, -1))
+        return (dp, prev), None
+
+    dp0 = jnp.full((W, N), -jnp.inf, fdt)
+    prev0 = jnp.full((W, N), -1, jnp.int32)
+    (dp, prev), _ = jax.lax.scan(step, (dp0, prev0), jnp.arange(N))
+    return _finish_chains(ws, dp, prev, q, t, ln, ok, lead, W, N)

@@ -39,17 +39,21 @@ def device_pipeline(arrs, meta, cfg):
                           if k != "pos_dtype"))
 
     def fn(reads, lens, pos):
-        seeds = fm_ops._seed_anchors_impl(
-            arrs, reads, lens, pos, meta_t,
-            cfg.sampling_count, cfg.min_anchor_len, cfg.max_ref_hits,
-            cfg.max_seeds_per_read, cfg.seed_phase1_steps,
-            cfg.seed_compact_frac,
-        )
-        cands = vote_ops.vote_windows(seeds, lens, cfg)
+        with jax.named_scope("lf_seed"):
+            seeds = fm_ops._seed_anchors_impl(
+                arrs, reads, lens, pos, meta_t,
+                cfg.sampling_count, cfg.min_anchor_len, cfg.max_ref_hits,
+                cfg.max_seeds_per_read, cfg.seed_phase1_steps,
+                cfg.seed_compact_frac,
+            )
+        with jax.named_scope("lf_vote"):
+            cands = vote_ops.vote_windows(seeds, lens, cfg)
         k_windows = reads.shape[0] * cfg.compact_windows_per_read
-        cw = chain_ops.compact_candidates(cands, cfg, k_windows)
-        ws = chain_ops.select_window_seeds(seeds, cw, lens, arrs, cfg)
-        chains = chain_ops.chain_dpn2(ws, cfg)
+        with jax.named_scope("lf_select"):
+            cw = chain_ops.compact_candidates(cands, cfg, k_windows)
+            ws = chain_ops.select_window_seeds(seeds, cw, lens, arrs, cfg)
+        with jax.named_scope("lf_chain"):
+            chains = chain_ops.chain_seeds(ws, cfg)
 
         # Host-bound results, trimmed on device: the host<->device link may
         # be a tunnel at ~30 MB/s, so the chains tensor (K x N x 3 words)
@@ -63,6 +67,13 @@ def device_pipeline(arrs, meta, cfg):
             chains.length[:, :ncap].astype(jnp.int32)
         )
         host_out = {
+            # per-batch stage counters, reduced on device (SURVEY.md §5.5)
+            "stat_seeds": seeds.n_total.astype(jnp.int32).sum(),
+            "stat_candidates": cands.valid.sum().astype(jnp.int32),
+            "stat_fine_reads": cands.is_fine.sum().astype(jnp.int32),
+            "stat_chained_windows": (chains.chain_len > 1).sum().astype(
+                jnp.int32
+            ),
             "cand_valid0": cands.valid[:, 0],
             "is_fine": cands.is_fine,
             "cw_read_idx": cw.read_idx,

@@ -28,6 +28,8 @@ from ..io.fastx import Read, read_chunks
 from ..ops import chain as chain_ops
 from ..ops import fm_index as fm_ops
 from ..ops import voting as vote_ops
+from ..utils.checkpoint import ChunkProgress
+from ..utils.metrics import Metrics
 from ..utils.pack import seq_to_codes, revcomp_codes
 
 
@@ -46,6 +48,7 @@ class MappingEngine:
         self.arrs = idx.device_arrays()
         self.meta = idx.meta
         self.stats = {"reads": 0, "mapped": 0, "chunks": 0, "batches": 0}
+        self.metrics = Metrics(verbosity=getattr(self.cfg, "verbosity", 0))
         # one jitted function for the whole device stage: eager op-by-op
         # dispatch costs a host<->device roundtrip per op, which dominates
         # wall time on remote/tunneled TPU backends
@@ -118,6 +121,13 @@ class MappingEngine:
                 m = align_and_score(
                     cq, ct, cl, query, read_len, is_rev, self.idx, cfg,
                 )
+                if len(m.records) > 1:
+                    self.metrics.add("splits", len(m.records) - 1)
+                    base = 16 if is_rev else 0
+                    self.metrics.add(
+                        "inversions",
+                        sum(1 for r in m.records if (r.flag & 16) != base),
+                    )
             else:
                 m = Mapping(records=[], total_score=-2 * read_len)
             mappings.append(m)
@@ -128,20 +138,39 @@ class MappingEngine:
         return mappings
 
     # ---- main loop ----
-    def map_file(self, seq_path, out: TextIO, command_line: str = ""):
+    def map_file(self, seq_path, out: TextIO, command_line: str = "",
+                 progress: Optional[ChunkProgress] = None):
+        """Map every read of seq_path, writing SAM to out.
+
+        progress: optional chunk-level checkpoint (SURVEY.md §5.4) — chunks
+        with id <= progress.last_done are skipped (already in the output of
+        a previous run); each completed chunk is recorded durably."""
         cfg = self.cfg
-        if not cfg.no_sam_header:
+        resume_from = progress.last_done if progress else -1
+        if not cfg.no_sam_header and resume_from < 0:
             sam_io.write_header(out, self.idx, cfg, command_line)
 
-        for chunk in read_chunks(seq_path, cfg.chunk_bytes):
+        for chunk_id, chunk in enumerate(read_chunks(seq_path,
+                                                     cfg.chunk_bytes)):
+            if chunk_id <= resume_from:
+                self.metrics.log(
+                    1, f"[engine] chunk {chunk_id} already done; skipping"
+                )
+                continue
             t0 = time.time()
             self.stats["chunks"] += 1
             self._map_chunk(chunk, out)
+            if progress is not None:
+                out.flush()
+                progress.mark_done(chunk_id)
             print(
-                f"[engine] chunk of {len(chunk)} reads mapped in "
-                f"{time.time()-t0:.2f}s",
+                "[engine] "
+                + self.metrics.chunk_line(chunk_id, len(chunk),
+                                          time.time() - t0),
                 file=sys.stderr, flush=True,
             )
+        if progress is not None:
+            progress.finish()
 
     def _map_chunk(self, chunk: List[Read], out: TextIO):
         import jax
@@ -175,17 +204,22 @@ class MappingEngine:
             # one device->host transfer per batch, trimmed on device
             # (seeds and full chains stay on device)
             chains_dev, host_out = dev
-            out = jax.device_get(host_out)
+            with self.metrics.timer("device"):
+                out = jax.device_get(host_out)
+            for name in ("seeds", "candidates", "fine_reads",
+                         "chained_windows"):
+                self.metrics.add(name, int(out[f"stat_{name}"]))
             rows_by_read = {}
             cw_valid = out["cw_valid"]
             cw_read = out["cw_read_idx"]
             for k in range(len(cw_valid)):
                 if cw_valid[k]:
                     rows_by_read.setdefault(int(cw_read[k]), []).append(k)
-            for j, i in enumerate(idxs):
-                results[i] = self._resolve_read(
-                    j, batch[j], out, chains_dev, rows_by_read
-                )
+            with self.metrics.timer("stitch"):
+                for j, i in enumerate(idxs):
+                    results[i] = self._resolve_read(
+                        j, batch[j], out, chains_dev, rows_by_read
+                    )
 
         # software pipeline: keep up to `depth` batches in flight on the
         # device so host stitching of batch k overlaps device compute of
@@ -199,16 +233,19 @@ class MappingEngine:
         for item in inflight:
             resolve(*item)
 
-        wi = 0
-        for r in chunk:
-            self.stats["reads"] += 1
-            if len(r.seq) < cfg.min_read_len:
-                sam_io.emit_read(out, self.idx, cfg, r.name, r.seq, r.qual, [])
-                continue
-            mappings = results[wi]
-            wi += 1
-            if mappings and mappings[0].records:
-                self.stats["mapped"] += 1
-            sam_io.emit_read(
-                out, self.idx, cfg, r.name, r.seq, r.qual, mappings
-            )
+        with self.metrics.timer("emit"):
+            wi = 0
+            for r in chunk:
+                self.stats["reads"] += 1
+                if len(r.seq) < cfg.min_read_len:
+                    sam_io.emit_read(
+                        out, self.idx, cfg, r.name, r.seq, r.qual, []
+                    )
+                    continue
+                mappings = results[wi]
+                wi += 1
+                if mappings and mappings[0].records:
+                    self.stats["mapped"] += 1
+                sam_io.emit_read(
+                    out, self.idx, cfg, r.name, r.seq, r.qual, mappings
+                )

@@ -1,0 +1,79 @@
+"""Structured per-stage metrics and profiling.
+
+The reference's observability is compile-time VERBOSITY log macros
+(src/Common.h:33-49, Makefile:3-8) plus wall/CPU timers around the
+load/chunk/map phases (src/Common.cpp:101-114, src/baseFAST.cpp:49-81).
+The TPU build replaces both with runtime-structured counters (SURVEY.md
+§5.5): per-stage wall timers, per-batch device scalars (seeds found,
+candidate windows, fine-mode reads) reduced on device and fetched with the
+batch's host payload, and per-chunk host counters (splits, inversions,
+clip escalations).  ``jax.profiler`` tracing wraps the whole mapping run
+when enabled (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Metrics:
+    verbosity: int = 0
+    counters: dict = field(default_factory=lambda: defaultdict(int))
+    timers: dict = field(default_factory=lambda: defaultdict(float))
+    _t0: dict = field(default_factory=dict)
+
+    def add(self, name: str, n: int = 1) -> None:
+        self.counters[name] += int(n)
+
+    @contextmanager
+    def timer(self, name: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.timers[name] += time.time() - t0
+
+    def log(self, level: int, msg: str) -> None:
+        """LOG1/LOG2/LOG3 equivalent (src/Common.h:33-49), gated at
+        runtime instead of compile time."""
+        if self.verbosity >= level:
+            print(msg, file=sys.stderr, flush=True)
+
+    def chunk_line(self, chunk_id: int, n_reads: int, dt: float) -> str:
+        c, t = self.counters, self.timers
+        return (
+            f"[chunk {chunk_id}] {n_reads} reads in {dt:.2f}s | "
+            f"seeds {c['seeds']} cands {c['candidates']} "
+            f"fine {c['fine_reads']} chains {c['chained_windows']} | "
+            f"splits {c['splits']} inversions {c['inversions']} | "
+            f"device {t['device']:.2f}s stitch {t['stitch']:.2f}s "
+            f"emit {t['emit']:.2f}s"
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"counters": dict(self.counters),
+             "timers": {k: round(v, 4) for k, v in self.timers.items()}}
+        )
+
+
+@contextmanager
+def profiler_trace(trace_dir: str | None):
+    """jax.profiler trace around the mapping run (SURVEY.md §5.1);
+    no-op when trace_dir is falsy."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(str(trace_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -158,6 +158,104 @@ def test_chain_dpn2_matches_oracle(rng):
         assert got_chain == want_chain, (b, c)
 
 
+def oracle_clasp_sop(seeds, lam=0.15, eps=0.0):
+    """bl_slClusterSop/bl_slChainSop semantics (lib/clasp/slchain.c:568-828)
+    with lordFAST's parameters (src/Chain.cpp:52-55); seeds=[(qPos,tPos,len)].
+    Deterministic tie-breaks as documented on chain_clasp_sop."""
+    fr = sorted(seeds, key=lambda s: (s[0], s[1]))
+    n = len(fr)
+    if n == 0:
+        return [], -1.0
+    dp = [0.0] * n
+    prev = [-1] * n
+    for i in range(n):
+        qi, ti, li = fr[i]
+        dp[i] = float(li)
+        best, bj = -math.inf, -1
+        for j in range(n):
+            qj, tj, lj = fr[j]
+            if j == i:
+                continue
+            dy = qi - (qj + lj - 1) - 1
+            dx = ti - (tj + lj - 1) - 1
+            if dy < 0 or dx < 0 or j > i:
+                continue
+            gsop = lam * max(dx, dy) + (eps - lam) * min(dx, dy)
+            v = dp[j] - gsop
+            if v >= best:  # largest j among ties
+                best, bj = v, j
+        if best >= 0:
+            dp[i] = li + best
+            prev[i] = bj
+    best_i = max(range(n), key=lambda i: (dp[i], -i))
+    chain = []
+    i = best_i
+    while i != -1:
+        chain.append(fr[i])
+        i = prev[i]
+    return chain[::-1], dp[best_i]
+
+
+def test_chain_clasp_sop_matches_oracle(rng):
+    from lordfast_tpu.ops.chain import chain_clasp_sop
+
+    cfg = LordfastConfig(chain_alg="clasp")
+    B, C, N = 2, 3, 64
+    q = np.zeros((B, C, N), np.int32)
+    t = np.zeros((B, C, N), np.int32)
+    ln = np.zeros((B, C, N), np.int32)
+    va = np.zeros((B, C, N), bool)
+    ora = {}
+    for b in range(B):
+        for c in range(C):
+            n = int(rng.integers(0, N))
+            seeds = []
+            base_t = int(rng.integers(0, 10000))
+            for i in range(n):
+                qp = int(rng.integers(0, 2000))
+                tp = base_t + qp + int(rng.integers(-100, 100))
+                l = int(rng.integers(14, 40))
+                seeds.append((qp, max(tp, 0), l))
+            seeds.sort(key=lambda s: (s[0], s[1]))
+            for i, (qp, tp, l) in enumerate(seeds):
+                q[b, c, i], t[b, c, i], ln[b, c, i], va[b, c, i] = qp, tp, l, 1
+            ora[(b, c)] = oracle_clasp_sop(seeds)
+    ws = WindowSeeds(
+        q_pos=jnp.asarray(q), t_pos=jnp.asarray(t), length=jnp.asarray(ln),
+        valid=jnp.asarray(va), n_in_range=jnp.asarray(va.sum(-1), jnp.int32),
+    )
+    cb = chain_clasp_sop(ws, cfg)
+    for (b, c), (want_chain, want_score) in ora.items():
+        got_len = int(cb.chain_len[b, c])
+        assert got_len == len(want_chain), (b, c)
+        np.testing.assert_allclose(
+            float(cb.score[b, c]), np.float32(want_score), rtol=1e-6
+        )
+        got_chain = [
+            (int(cb.q_pos[b, c, i]), int(cb.t_pos[b, c, i]),
+             int(cb.length[b, c, i]))
+            for i in range(got_len)
+        ]
+        assert got_chain == want_chain, (b, c)
+
+
+def test_chain_seeds_dispatch():
+    from lordfast_tpu.ops.chain import chain_seeds
+
+    ws = WindowSeeds(
+        q_pos=jnp.asarray([[10, 100]], jnp.int32),
+        t_pos=jnp.asarray([[50, 140]], jnp.int32),
+        length=jnp.asarray([[20, 20]], jnp.int32),
+        valid=jnp.ones((1, 2), bool),
+        n_in_range=jnp.asarray([2], jnp.int32),
+    )
+    cb1 = chain_seeds(ws, LordfastConfig(chain_alg="dp-n2"))
+    cb2 = chain_seeds(ws, LordfastConfig(chain_alg="clasp"))
+    assert int(cb1.chain_len[0]) == 2 and int(cb2.chain_len[0]) == 2
+    # dp-n2 reward differs from clasp score (len-sum minus gsop)
+    assert float(cb1.score[0]) != float(cb2.score[0])
+
+
 def test_select_window_seeds(small_index, rng):
     idx, _ = small_index
     arrs = idx.device_arrays()
