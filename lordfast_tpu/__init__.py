@@ -25,9 +25,28 @@ enables jax_enable_x64 at import.  All kernels pick int32/int64 explicitly
 based on the index size, so small-genome paths still run in 32-bit.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the device stage is one large jitted
+# function compiled once per read-length bucket (~minutes on a tunneled
+# backend); caching compiled executables on disk makes every run after the
+# first start in seconds.  Opt out with LORDFAST_NO_COMPILE_CACHE=1.
+if not _os.environ.get("LORDFAST_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "LORDFAST_COMPILE_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                      ".jax_cache"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort
+        pass
 
 __version__ = "0.1.0"
 

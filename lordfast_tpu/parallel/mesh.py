@@ -32,13 +32,18 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
-def device_pipeline(arrs, meta, cfg):
+def device_pipeline(meta, cfg):
     """The full device stage as one pure jittable function of
-    (reads, lens, pos).  meta/cfg are closed over (static)."""
+    (arrs, reads, lens, pos).  meta/cfg are closed over (static).
+
+    The index arrays are an *argument* pytree, not a closure: closed-over
+    concrete arrays are baked into the HLO as constants, which (a) bloats
+    the executable and (b) overflows remote-compile request limits for
+    genome-scale indexes (hundreds of MB)."""
     meta_t = tuple(sorted((k, v) for k, v in meta.items()
                           if k != "pos_dtype"))
 
-    def fn(reads, lens, pos):
+    def fn(arrs, reads, lens, pos):
         with jax.named_scope("lf_seed"):
             seeds = fm_ops._seed_anchors_impl(
                 arrs, reads, lens, pos, meta_t,
@@ -96,9 +101,10 @@ def sharded_pipeline(idx, cfg, mesh: Mesh):
     repl = NamedSharding(mesh, P())
     shard0 = NamedSharding(mesh, P("data"))
     arrs = idx.device_arrays(sharding=repl)
-    fn = device_pipeline(arrs, idx.meta, cfg)
-    return jax.jit(
+    fn = device_pipeline(idx.meta, cfg)
+    jitted = jax.jit(
         fn,
-        in_shardings=(shard0, shard0, shard0),
+        in_shardings=(None, shard0, shard0, shard0),
         out_shardings=None,
     )
+    return functools.partial(jitted, arrs)

@@ -54,14 +54,12 @@ class MappingEngine:
         # wall time on remote/tunneled TPU backends
         from ..parallel.mesh import device_pipeline
         import jax
-        self._device_fn = jax.jit(
-            device_pipeline(self.arrs, self.meta, self.cfg)
-        )
+        self._device_fn = jax.jit(device_pipeline(self.meta, self.cfg))
 
     # ---- device stage ----
     def _device_stage(self, reads_arr: np.ndarray, lens: np.ndarray):
         pos = fm_ops.sample_positions_host(lens, self.cfg.sampling_count)
-        return self._device_fn(reads_arr, lens, pos)
+        return self._device_fn(self.arrs, reads_arr, lens, pos)
 
     # ---- per-read host resolution ----
     def _chain_rows(self, out, chains_dev, k: int, n: int):

@@ -51,7 +51,10 @@ def oracle_vote(seeds, read_len, cfg):
             right_ok = (w + 1 not in cnt) or (c > cnt[w + 1])
             if left_ok and right_ok:
                 results.append((c, w, rev))
-    results.sort(key=lambda x: -x[0])
+    # reference keep-order among count ties: scan order is forward strand
+    # first, ascending window (findTopWins heap replaces only on strict >,
+    # src/LordFAST.cpp:646)
+    results.sort(key=lambda x: (-x[0], x[2], x[1]))
     return results
 
 
