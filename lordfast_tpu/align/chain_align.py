@@ -415,11 +415,17 @@ class _StitchRecordC(__import__("ctypes").Structure):
 
 
 def align_chain_native(
-    chain_q, chain_t, chain_l, query, read_len, is_rev, idx, cfg
+    chain_q, chain_t, chain_l, query, read_len, is_rev, idx, cfg,
+    gap_table=None,
 ) -> Mapping | None:
     """Native (C++) stitcher: one call per window (native/stitch.cpp).
     Returns None if the native library is unavailable (caller falls back
-    to the Python implementation above)."""
+    to the Python implementation above).
+
+    gap_table: optional (has, dist, end, moves, off, mlen) arrays from the
+    device batched Myers kernel (pipeline/engine.py _precompute_gaps) —
+    slot 0 = left end, i+1 = gap i, n = right end; the native stitcher
+    skips its local DP for precomputed slots."""
     import ctypes
 
     from ..native import _load
@@ -454,6 +460,22 @@ def align_chain_native(
 
     i64p = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    if gap_table is not None:
+        g_has, g_dist, g_end, g_moves, g_off, g_len = (
+            np.ascontiguousarray(gap_table[0], dtype=np.uint8),
+            np.ascontiguousarray(gap_table[1], dtype=np.int64),
+            np.ascontiguousarray(gap_table[2], dtype=np.int64),
+            np.ascontiguousarray(gap_table[3], dtype=np.uint8),
+            np.ascontiguousarray(gap_table[4], dtype=np.int64),
+            np.ascontiguousarray(gap_table[5], dtype=np.int64),
+        )
+        pre_args = (
+            g_has.ctypes.data_as(u8p), g_dist.ctypes.data_as(i64p),
+            g_end.ctypes.data_as(i64p), g_moves.ctypes.data_as(u8p),
+            g_off.ctypes.data_as(i64p), g_len.ctypes.data_as(i64p),
+        )
+    else:
+        pre_args = (None, None, None, None, None, None)
     nrec = lib.stitch_chain(
         cq.ctypes.data_as(i64p), ct.ctypes.data_as(i64p),
         cl.ctypes.data_as(i64p), n,
@@ -471,6 +493,7 @@ def align_chain_native(
         ctypes.cast(recs, ctypes.c_void_p), max_recs,
         strbuf, strcap,
         ctypes.byref(total),
+        *pre_args,
     )
     if nrec < 0:
         return None  # buffers too small; fall back to Python path
@@ -491,10 +514,13 @@ def align_chain_native(
 
 
 def align_and_score(chain_q, chain_t, chain_l, query, read_len, is_rev,
-                    idx, cfg) -> Mapping:
-    """Stitch + score one window: native fast path with Python fallback."""
+                    idx, cfg, gap_table=None) -> Mapping:
+    """Stitch + score one window: native fast path with Python fallback.
+    gap_table: precomputed device gap-DP results (see align_chain_native);
+    the Python fallback recomputes locally (same results, slower)."""
     m = align_chain_native(
-        chain_q, chain_t, chain_l, query, read_len, is_rev, idx, cfg
+        chain_q, chain_t, chain_l, query, read_len, is_rev, idx, cfg,
+        gap_table=gap_table,
     )
     if m is None:
         m = align_chain_edlib(

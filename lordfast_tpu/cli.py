@@ -152,9 +152,21 @@ def main(argv=None) -> int:
     progress = None
     mode = "w"
     if args.out and args.resume:
-        progress = ChunkProgress(args.out, str(args.seq))
+        progress = ChunkProgress(args.out, str(args.seq),
+                                 chunk_bytes=cfg.chunk_bytes)
         if progress.load() >= 0:
             mode = "a"
+            # a crash mid-chunk leaves partially flushed records for the
+            # unfinished chunk; truncate back to the last durable offset
+            # so the resumed chunk is not duplicated after a torn line
+            try:
+                import os
+
+                if os.path.getsize(args.out) > progress.out_offset:
+                    with open(args.out, "r+") as f:
+                        f.truncate(progress.out_offset)
+            except OSError:
+                pass
             print(
                 f"[NOTE] resuming after chunk {progress.last_done}",
                 file=sys.stderr,
@@ -162,7 +174,8 @@ def main(argv=None) -> int:
     elif args.resume:
         print("[WARNING] --resume requires --out; ignoring", file=sys.stderr)
     if args.out and progress is None:
-        progress = ChunkProgress(args.out, str(args.seq))
+        progress = ChunkProgress(args.out, str(args.seq),
+                                 chunk_bytes=cfg.chunk_bytes)
 
     with profiler_trace(args.profile):
         if args.out:
@@ -172,9 +185,14 @@ def main(argv=None) -> int:
             engine.map_file(args.seq, sys.stdout, cmdline)
     if cfg.verbosity >= 1:
         print("[metrics] " + engine.metrics.to_json(), file=sys.stderr)
+    # cumulative across resumed runs (persisted in the progress sidecar)
+    n_reads = engine.stats["reads"]
+    n_mapped = engine.stats["mapped"]
+    if progress is not None:
+        n_reads = max(n_reads, progress.total_reads)
+        n_mapped = max(n_mapped, progress.total_mapped)
     print(
-        f"[NOTE] processed {engine.stats['reads']} reads "
-        f"({engine.stats['mapped']} mapped)",
+        f"[NOTE] processed {n_reads} reads ({n_mapped} mapped)",
         file=sys.stderr,
     )
     return 0

@@ -103,7 +103,12 @@ class LordfastConfig:
     max_chain_seeds: int = 512      # seeds entering the chaining DP / window
     chain_transfer_cap: int = 160   # chain slots copied to host eagerly
     batch_reads: int = 64           # reads per device batch
-    gap_buckets: tuple = (64, 256, 1024, 4096, 16384)  # Myers kernel sizes
+    # device gap-DP bucket shapes (ops/gap_dp.py): (Q, T, G) = padded
+    # query len (mult of 32), padded target len ((Q+T) mult of 16), gaps
+    # per kernel invocation.  A gap uses the first bucket with
+    # q_len <= Q and t_len <= T; bigger gaps run on the host (rare).
+    gap_buckets: tuple = ((128, 160, 1024), (512, 576, 256),
+                          (2048, 2176, 64))
 
     # ---- runtime ----
     num_threads: int = 0            # host worker threads (0 = auto)

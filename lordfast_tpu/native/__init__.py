@@ -83,6 +83,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_int32,               # recs
             ctypes.c_char_p, ctypes.c_int64,               # strbuf
             i64p,                                          # total_score
+            u8p, i64p, i64p, u8p, i64p, i64p,              # gap table
         ]
         _lib = lib
     except Exception:

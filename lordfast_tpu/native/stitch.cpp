@@ -182,6 +182,14 @@ typedef struct {
 // window score.  gap_penalty: pass 0.15 for forward windows and the
 // configured gapPenalty for reverse (reference quirk,
 // src/LordFAST.cpp:1077 vs :1162).
+//
+// Precomputed gap table (device batched Myers results, ops/gap_dp.py):
+// slot 0 = left end extension, slot i+1 = inter-seed gap i, slot n =
+// right end extension.  pre_has[slot] != 0 means (pre_dist, pre_end,
+// moves at pre_moves + pre_off[slot], length pre_len[slot]) replace the
+// local shw_best_end / nw_align calls for the PLAIN path of that site;
+// escalation re-alignments (clip / split / inversion) always run
+// locally.  Pass pre_has = NULL to compute everything locally.
 int32_t stitch_chain(
     const int64_t* chain_q, const int64_t* chain_t, const int64_t* chain_l,
     int32_t n, const uint8_t* query, int64_t read_len, int32_t is_rev,
@@ -194,7 +202,10 @@ int32_t stitch_chain(
     int32_t split_oins, int32_t split_eins, int32_t split_band,
     int32_t split_zdrop, double gap_penalty, StitchRecord* recs,
     int32_t max_recs, char* strbuf, int64_t strbuf_cap,
-    int64_t* total_score_out) {
+    int64_t* total_score_out,
+    const uint8_t* pre_has, const int64_t* pre_dist, const int64_t* pre_end,
+    const uint8_t* pre_moves, const int64_t* pre_off,
+    const int64_t* pre_len) {
   Ctx ctx{ref_slice, ref_off, ref_slice_len, {}};
   std::deque<char> cig, md;
   int64_t edit_score = 0;
@@ -239,8 +250,14 @@ int32_t stitch_chain(
       if (chain_t[0] - t_len >= chr_beg) {
         rc_into(query, r_len, q_rc);
         rc_into(ctx.slice(chain_t[0] - t_len, t_len), t_len, t_rc);
-        int64_t end, mlen;
-        int64_t d = shw_best_end(q_rc.data(), r_len, t_rc.data(), t_len, &end);
+        int64_t end, mlen, d;
+        const bool pre0 = pre_has && pre_has[0];
+        if (pre0) {
+          d = pre_dist[0];
+          end = pre_end[0];
+        } else {
+          d = shw_best_end(q_rc.data(), r_len, t_rc.data(), t_len, &end);
+        }
         float sim = 1.0f - (float)d / (float)r_len;
         bool done = false;
         if (r_len > clip_len && sim < clip_sim) {
@@ -266,7 +283,10 @@ int32_t stitch_chain(
         if (!done) {
           edit_score -= d;
           // path: NW over t_rc[0..end] (empty when end = -1)
-          if (end >= 0) {
+          if (pre0) {
+            mlen = pre_len[0];
+            std::memcpy(moves.data(), pre_moves + pre_off[0], mlen);
+          } else if (end >= 0) {
             nw_align(q_rc.data(), r_len, t_rc.data(), end + 1, moves.data(),
                      &mlen);
           } else {
@@ -303,8 +323,14 @@ int32_t stitch_chain(
     if (r_len > 0 && t_len > 0) {
       const uint8_t* t_seq = ctx.slice(t_s, t_len);
       const uint8_t* q_seq = query + r_s;
-      int64_t mlen;
-      int64_t d = nw_align(q_seq, r_len, t_seq, t_len, moves.data(), &mlen);
+      int64_t mlen, d;
+      if (pre_has && pre_has[i + 1]) {
+        d = pre_dist[i + 1];
+        mlen = pre_len[i + 1];
+        std::memcpy(moves.data(), pre_moves + pre_off[i + 1], mlen);
+      } else {
+        d = nw_align(q_seq, r_len, t_seq, t_len, moves.data(), &mlen);
+      }
       float sim = 1.0f - (float)d / (float)r_len;
       bool handled = false;
       if ((r_len > t_len ? r_len - t_len : t_len - r_len) >= split_len &&
@@ -445,8 +471,14 @@ int32_t stitch_chain(
         int64_t t_start = chain_t[last] + chain_l[last];
         const uint8_t* t_seq = ctx.slice(t_start, t_len);
         const uint8_t* q_seq = query + r_s;
-        int64_t end, mlen;
-        int64_t d = shw_best_end(q_seq, r_len, t_seq, t_len, &end);
+        int64_t end, mlen, d;
+        const bool pre_n = pre_has && pre_has[n];
+        if (pre_n) {
+          d = pre_dist[n];
+          end = pre_end[n];
+        } else {
+          d = shw_best_end(q_seq, r_len, t_seq, t_len, &end);
+        }
         float sim = 1.0f - (float)d / (float)r_len;
         bool done = false;
         if (r_len > clip_len && sim < clip_sim) {
@@ -470,7 +502,10 @@ int32_t stitch_chain(
         }
         if (!done) {
           edit_score -= d;
-          if (end >= 0) {
+          if (pre_n) {
+            mlen = pre_len[n];
+            std::memcpy(moves.data(), pre_moves + pre_off[n], mlen);
+          } else if (end >= 0) {
             nw_align(q_seq, r_len, t_seq, end + 1, moves.data(), &mlen);
           } else {
             mlen = r_len;

@@ -236,6 +236,66 @@ def gap_align(qs, ql, ts, tl, is_shw, Q: int, T: int) -> GapResult:
     return GapResult(dist=dist, end=end, moves_packed=packed, mlen=mlen)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def gap_align_from_desc(pac_words, reads, desc, Q: int, T: int,
+                        l_pac: int) -> GapResult:
+    """Gather gap sequences on device from the resident read batch and the
+    packed genome, then run the batched Myers alignment.
+
+    The host never uploads sequence data for gaps — only the descriptor
+    table (a few int32/int64 per gap); reads were already shipped for
+    seeding and the genome lives on device (index/container.py pac_words).
+
+    desc: dict of (G,) arrays —
+      q_read  int32   row into ``reads``
+      q_start int32   query slice start (pre-reversal coordinates)
+      q_len   int32   query length (>= 1 for valid gaps)
+      q_rc    bool    reverse-complement the query slice
+      t_start int64   global target start (pre-reversal coordinates)
+      t_len   int32   target length (>= 1)
+      t_rc    bool    reverse-complement the target slice
+      is_shw  bool    prefix mode
+      valid   bool    inactive rows are aligned as (1,1) dummies
+
+    Semantics of the gathers match the host stitcher exactly: query codes
+    come from the strand-oriented read row; target codes from the forward
+    genome with out-of-range positions reading 0 ('A')
+    (index/container.py get_ref_codes padding), reverse-complement applied
+    after slicing (chain_align.py _rc)."""
+    G = desc["q_read"].shape[0]
+    ql = jnp.maximum(jnp.where(desc["valid"], desc["q_len"], 1), 1)
+    tl = jnp.maximum(jnp.where(desc["valid"], desc["t_len"], 1), 1)
+
+    j_q = jnp.arange(Q, dtype=jnp.int32)[None, :]
+    qpos = jnp.where(
+        desc["q_rc"][:, None],
+        desc["q_start"][:, None] + ql[:, None] - 1 - j_q,
+        desc["q_start"][:, None] + j_q,
+    )
+    q_ok = (j_q < ql[:, None]) & (qpos >= 0) & (qpos < reads.shape[1])
+    qg = reads[desc["q_read"][:, None], jnp.clip(qpos, 0, reads.shape[1] - 1)]
+    qg = jnp.where(desc["q_rc"][:, None] & (qg < 4), 3 - qg, qg)
+    qs = jnp.where(q_ok, qg, 4).astype(jnp.uint8)
+
+    j_t = jnp.arange(T, dtype=jnp.int64)[None, :]
+    tpos = jnp.where(
+        desc["t_rc"][:, None],
+        desc["t_start"].astype(jnp.int64)[:, None]
+        + tl.astype(jnp.int64)[:, None] - 1 - j_t,
+        desc["t_start"].astype(jnp.int64)[:, None] + j_t,
+    )
+    t_in = (tpos >= 0) & (tpos < l_pac)
+    tclip = jnp.clip(tpos, 0, l_pac - 1)
+    words = pac_words[(tclip >> 4)]
+    shift = ((~tclip & 15) << 1).astype(jnp.uint32)
+    tg = ((words >> shift) & 3).astype(jnp.uint8)
+    tg = jnp.where(t_in, tg, 0)          # pad 0 like get_ref_codes
+    tg = jnp.where(desc["t_rc"][:, None], 3 - tg, tg)
+    ts = jnp.where(j_t < tl[:, None], tg, 0).astype(jnp.uint8)
+
+    return gap_align(qs, ql, ts, tl, desc["is_shw"], Q, T)
+
+
 def unpack_moves(packed: np.ndarray, mlen: np.ndarray) -> list:
     """Host-side: (G, M/16) uint32 -> list of (mlen_g,) uint8 move arrays."""
     G, nw = packed.shape

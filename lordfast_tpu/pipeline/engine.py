@@ -27,6 +27,7 @@ from ..io import sam as sam_io
 from ..io.fastx import Read, read_chunks
 from ..ops import chain as chain_ops
 from ..ops import fm_index as fm_ops
+from ..ops import gap_dp
 from ..ops import voting as vote_ops
 from ..utils.checkpoint import ChunkProgress
 from ..utils.metrics import Metrics
@@ -42,11 +43,17 @@ def _pad_to_bucket(n: int, buckets=(1024, 2048, 4096, 8192, 16384, 32768,
 
 
 class MappingEngine:
-    def __init__(self, idx: FMIndex, cfg: Optional[LordfastConfig] = None):
+    def __init__(self, idx: FMIndex, cfg: Optional[LordfastConfig] = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a "data" axis — the device
+        stage is then sharded over reads across the mesh with the index
+        replicated (the TPU-native analog of the reference's pthread pool,
+        src/LordFAST.cpp:305-316).  cfg.batch_reads must be divisible by
+        the mesh size."""
         self.idx = idx
         self.cfg = (cfg or LordfastConfig()).validate()
-        self.arrs = idx.device_arrays()
         self.meta = idx.meta
+        self.mesh = mesh
         self.stats = {"reads": 0, "mapped": 0, "chunks": 0, "batches": 0}
         self.metrics = Metrics(verbosity=getattr(self.cfg, "verbosity", 0))
         # one jitted function for the whole device stage: eager op-by-op
@@ -54,11 +61,40 @@ class MappingEngine:
         # wall time on remote/tunneled TPU backends
         from ..parallel.mesh import device_pipeline
         import jax
-        self._device_fn = jax.jit(device_pipeline(self.meta, self.cfg))
+        fn = device_pipeline(self.meta, self.cfg)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert self.cfg.batch_reads % mesh.size == 0, (
+                "batch_reads must be divisible by the mesh size"
+            )
+            repl = NamedSharding(mesh, P())
+            self._shard0 = NamedSharding(mesh, P("data"))
+            self.arrs = idx.device_arrays(sharding=repl)
+            self._device_fn = jax.jit(
+                fn, in_shardings=(None, self._shard0, self._shard0,
+                                  self._shard0),
+            )
+        else:
+            self._shard0 = None
+            self.arrs = idx.device_arrays()
+            self._device_fn = jax.jit(fn)
+
+    def _put_reads(self, arr: np.ndarray):
+        import jax
+
+        if self._shard0 is not None:
+            return jax.device_put(arr, self._shard0)
+        return jax.device_put(arr)
 
     # ---- device stage ----
-    def _device_stage(self, reads_arr: np.ndarray, lens: np.ndarray):
+    def _device_stage(self, reads_arr, lens: np.ndarray):
+        import jax
+
         pos = fm_ops.sample_positions_host(lens, self.cfg.sampling_count)
+        if self._shard0 is not None:
+            lens = jax.device_put(np.asarray(lens), self._shard0)
+            pos = jax.device_put(np.asarray(pos), self._shard0)
         return self._device_fn(self.arrs, reads_arr, lens, pos)
 
     # ---- per-read host resolution ----
@@ -78,62 +114,193 @@ class MappingEngine:
         )
         return q, t, ln
 
-    def _resolve_read(self, b: int, read: Read, out, chains_dev,
-                      rows_by_read) -> List[Mapping]:
+    def _select_rows(self, b: int, out, rows_by_read):
+        """Window selection per read: coarse mode stitches the single
+        top-vote window; fine mode the top max_map by chain score
+        (src/LordFAST.cpp:542-569, 819-904)."""
         cfg = self.cfg
-        read_len = len(read.seq)
         if not out["cand_valid0"][b]:
-            return []  # no candidate windows -> unmapped
-
+            return False, []
         rows = rows_by_read.get(b, [])
         if not rows:
             self.stats["compact_overflow"] = (
                 self.stats.get("compact_overflow", 0) + 1
             )
-            return []
-
+            return False, []
         is_fine = bool(out["is_fine"][b])
         if not is_fine:
-            # coarse: the single top-vote window (cand index 0)
             selected = [k for k in rows if out["cw_cand_idx"][k] == 0][:1]
         else:
-            # top max_map windows by chain score (the fine-mode heap,
-            # src/LordFAST.cpp:819-904); ties by vote rank
             rows = sorted(
                 rows,
                 key=lambda k: (-float(out["chain_score"][k]),
                                int(out["cw_cand_idx"][k])),
             )
             selected = rows[: cfg.max_map]
+        return is_fine, selected
 
-        fwd = seq_to_codes(read.seq)
-        rev = revcomp_codes(fwd)
+    def _gap_descriptors(self, j, read_len, is_rev, cq, ct, cl,
+                         chr_beg, chr_end):
+        """Descriptor list for the plain-path DP sites of one window
+        (left end / inter-seed gaps / right end), mirroring the stitcher's
+        call sites (native/stitch.cpp; reference src/LordFAST.cpp:1820-2230).
+        Query coordinates are rebased onto the forward read row: the
+        strand-oriented query is revcomp(fwd) for reverse windows, so a
+        slice [a, a+n) of it is the reverse-complemented slice
+        [L-a-n, L-a) of the forward row, and a site-level revcomp (left
+        end) cancels the strand one."""
+        slack = self.cfg.end_extension_slack
+        L = read_len
+        n = len(cq)
 
-        mappings = []
-        for k in selected:
-            n = int(out["chain_len"][k])
-            if n > 1:
-                is_rev = bool(out["cw_is_rev"][k])
-                query = rev if is_rev else fwd
-                cq, ct, cl = self._chain_rows(out, chains_dev, k, n)
-                m = align_and_score(
-                    cq, ct, cl, query, read_len, is_rev, self.idx, cfg,
+        def q_adj(a, ln, site_rc):
+            if is_rev:
+                return L - a - ln, not site_rc
+            return a, site_rc
+
+        descs = []  # (slot, q_start, q_len, q_rc, t_start, t_len, t_rc, shw)
+        r0 = int(cq[0])
+        tl0 = r0 + slack
+        if r0 > 0 and int(ct[0]) - tl0 >= chr_beg:
+            qa, qrc = q_adj(0, r0, True)
+            descs.append((0, j, qa, r0, qrc, int(ct[0]) - tl0, tl0, True,
+                          True))
+        for i in range(n - 1):
+            r_s = int(cq[i] + cl[i])
+            t_s = int(ct[i] + cl[i])
+            rl = int(cq[i + 1]) - r_s
+            tl = int(ct[i + 1]) - t_s
+            if rl > 0 and tl > 0:
+                qa, qrc = q_adj(r_s, rl, False)
+                descs.append((i + 1, j, qa, rl, qrc, t_s, tl, False, False))
+        r_s = int(cq[n - 1] + cl[n - 1])
+        rl = L - r_s
+        tl = rl + slack
+        if rl > 0 and int(ct[n - 1] + cl[n - 1]) + tl - 1 <= chr_end:
+            qa, qrc = q_adj(r_s, rl, False)
+            descs.append((n, j, qa, rl, qrc, int(ct[n - 1] + cl[n - 1]), tl,
+                          False, True))
+        return descs
+
+    def _precompute_gaps(self, jobs, reads_dev):
+        """Batched device gap-DP over every plain-path DP site of every
+        selected window in the batch (SURVEY.md §7 step 5): bucket the
+        descriptors by padded size, run the Myers kernel per bucket, and
+        scatter results back into per-window gap tables consumed by the
+        native stitcher.  Oversized gaps are left to the host (rare)."""
+        cfg = self.cfg
+        buckets = cfg.gap_buckets
+        per_bucket = [[] for _ in buckets]
+        n_host = 0
+        for job_id, job in enumerate(jobs):
+            for d in job["descs"]:
+                q_len, t_len = d[3], d[6]
+                for bi, (Q, T, _) in enumerate(buckets):
+                    if q_len <= Q and t_len <= T:
+                        per_bucket[bi].append((job_id, d))
+                        break
+                else:
+                    n_host += 1
+        if n_host:
+            self.metrics.add("gaps_host", n_host)
+
+        tables = {}
+
+        def table_for(job_id):
+            t = tables.get(job_id)
+            if t is None:
+                ns = len(jobs[job_id]["cq"]) + 1
+                t = {
+                    "has": np.zeros(ns, np.uint8),
+                    "dist": np.zeros(ns, np.int64),
+                    "end": np.zeros(ns, np.int64),
+                    "len": np.zeros(ns, np.int64),
+                    "mv": [None] * ns,
+                }
+                tables[job_id] = t
+            return t
+
+        for bi, items in enumerate(per_bucket):
+            if not items:
+                continue
+            Q, T, G = buckets[bi]
+            self.metrics.add(f"gaps_b{Q}", len(items))
+            for s in range(0, len(items), G):
+                part = items[s : s + G]
+                g = len(part)
+                desc = {
+                    "q_read": np.zeros(G, np.int32),
+                    "q_start": np.zeros(G, np.int32),
+                    "q_len": np.ones(G, np.int32),
+                    "q_rc": np.zeros(G, bool),
+                    "t_start": np.zeros(G, np.int64),
+                    "t_len": np.ones(G, np.int32),
+                    "t_rc": np.zeros(G, bool),
+                    "is_shw": np.zeros(G, bool),
+                    "valid": np.zeros(G, bool),
+                }
+                for gi, (job_id, d) in enumerate(part):
+                    (_, j, qa, qn, qrc, ta, tn, trc, shw) = d
+                    desc["q_read"][gi] = j
+                    desc["q_start"][gi] = qa
+                    desc["q_len"][gi] = qn
+                    desc["q_rc"][gi] = qrc
+                    desc["t_start"][gi] = ta
+                    desc["t_len"][gi] = tn
+                    desc["t_rc"][gi] = trc
+                    desc["is_shw"][gi] = shw
+                    desc["valid"][gi] = True
+                res = gap_dp.gap_align_from_desc(
+                    self.arrs["pac_words"], reads_dev, desc, Q, T,
+                    self.meta["l_pac"],
                 )
-                if len(m.records) > 1:
-                    self.metrics.add("splits", len(m.records) - 1)
-                    base = 16 if is_rev else 0
-                    self.metrics.add(
-                        "inversions",
-                        sum(1 for r in m.records if (r.flag & 16) != base),
-                    )
-            else:
-                m = Mapping(records=[], total_score=-2 * read_len)
-            mappings.append(m)
+                import jax
 
-        # fine mode: sort by totalScore (compareSam, src/LordFAST.cpp:986)
-        if is_fine:
-            mappings.sort(key=lambda m: -m.total_score)
-        return mappings
+                dist, end, packed, mlen = jax.device_get(
+                    (res.dist, res.end, res.moves_packed, res.mlen)
+                )
+                moves = gap_dp.unpack_moves(packed[:g], mlen[:g])
+                for gi, (job_id, d) in enumerate(part):
+                    slot = d[0]
+                    t = table_for(job_id)
+                    t["has"][slot] = 1
+                    t["dist"][slot] = dist[gi]
+                    t["end"][slot] = end[gi]
+                    t["len"][slot] = mlen[gi]
+                    t["mv"][slot] = moves[gi]
+
+        # concatenate per-job move buffers with offsets
+        out = {}
+        for job_id, t in tables.items():
+            ns = len(t["has"])
+            off = np.zeros(ns, np.int64)
+            bufs = []
+            pos = 0
+            for slot in range(ns):
+                if t["has"][slot]:
+                    off[slot] = pos
+                    bufs.append(t["mv"][slot])
+                    pos += len(t["mv"][slot])
+            mvbuf = (np.concatenate(bufs) if bufs
+                     else np.zeros(0, np.uint8))
+            out[job_id] = (t["has"], t["dist"], t["end"], mvbuf, off,
+                           t["len"])
+        return out
+
+    def _stitch_job(self, job, gap_table) -> Mapping:
+        cfg = self.cfg
+        m = align_and_score(
+            job["cq"], job["ct"], job["cl"], job["query"], job["read_len"],
+            job["is_rev"], self.idx, cfg, gap_table=gap_table,
+        )
+        if len(m.records) > 1:
+            self.metrics.add("splits", len(m.records) - 1)
+            base = 16 if job["is_rev"] else 0
+            self.metrics.add(
+                "inversions",
+                sum(1 for r in m.records if (r.flag & 16) != base),
+            )
+        return m
 
     # ---- main loop ----
     def map_file(self, seq_path, out: TextIO, command_line: str = "",
@@ -144,7 +311,14 @@ class MappingEngine:
         with id <= progress.last_done are skipped (already in the output of
         a previous run); each completed chunk is recorded durably."""
         cfg = self.cfg
+        # fresh counters/timers per run (chunk lines report deltas)
+        self.metrics.reset()
         resume_from = progress.last_done if progress else -1
+        if resume_from >= 0:
+            # seed cumulative stats from the sidecar so run totals and
+            # the mapped-rate remain correct across resumes
+            self.stats["reads"] = progress.total_reads
+            self.stats["mapped"] = progress.total_mapped
         if not cfg.no_sam_header and resume_from < 0:
             sam_io.write_header(out, self.idx, cfg, command_line)
 
@@ -157,10 +331,17 @@ class MappingEngine:
                 continue
             t0 = time.time()
             self.stats["chunks"] += 1
+            self.metrics.snapshot()
             self._map_chunk(chunk, out)
             if progress is not None:
                 out.flush()
-                progress.mark_done(chunk_id)
+                try:
+                    off = out.tell()
+                except (OSError, AttributeError):
+                    off = 0
+                progress.mark_done(chunk_id, out_offset=off,
+                                   total_reads=self.stats["reads"],
+                                   total_mapped=self.stats["mapped"])
             print(
                 "[engine] "
                 + self.metrics.chunk_line(chunk_id, len(chunk),
@@ -174,9 +355,22 @@ class MappingEngine:
         import jax
 
         cfg = self.cfg
+
         # short reads are emitted unmapped without touching the device
-        # (src/LordFAST.cpp:490-499)
-        work = [r for r in chunk if len(r.seq) >= cfg.min_read_len]
+        # (src/LordFAST.cpp:490-499); over-long reads likewise — the
+        # reference has no guard and overflows its SEQ_MAX_LENGTH=250k
+        # stack buffers (src/Common.h:51), this build rejects them cleanly
+        def in_range(r):
+            return cfg.min_read_len <= len(r.seq) <= cfg.seq_max_length
+
+        n_long = sum(1 for r in chunk if len(r.seq) > cfg.seq_max_length)
+        if n_long:
+            self.metrics.add("overlong_reads", n_long)
+            self.metrics.log(
+                0, f"[WARNING] {n_long} read(s) longer than "
+                   f"{cfg.seq_max_length} bp emitted unmapped",
+            )
+        work = [r for r in chunk if in_range(r)]
         # length-bucketed batches to bound padding waste
         order = sorted(range(len(work)), key=lambda i: len(work[i].seq))
         results = {}
@@ -195,10 +389,13 @@ class MappingEngine:
                 codes = seq_to_codes(r.seq)
                 arr[j, : len(codes)] = codes
                 lens[j] = len(codes)
-            _, chains_dev, host_out = self._device_stage(arr, lens)
-            return idxs, batch, (chains_dev, host_out)
+            # ship reads once; the same device buffer feeds the seeding
+            # stage and the gap-DP gathers (no second upload)
+            reads_dev = self._put_reads(arr)
+            _, chains_dev, host_out = self._device_stage(reads_dev, lens)
+            return idxs, batch, reads_dev, (chains_dev, host_out)
 
-        def resolve(idxs, batch, dev):
+        def resolve(idxs, batch, reads_dev, dev):
             # one device->host transfer per batch, trimmed on device
             # (seeds and full chains stay on device)
             chains_dev, host_out = dev
@@ -213,11 +410,63 @@ class MappingEngine:
             for k in range(len(cw_valid)):
                 if cw_valid[k]:
                     rows_by_read.setdefault(int(cw_read[k]), []).append(k)
-            with self.metrics.timer("stitch"):
-                for j, i in enumerate(idxs):
-                    results[i] = self._resolve_read(
-                        j, batch[j], out, chains_dev, rows_by_read
+
+            # window selection + stitch-job construction per read
+            jobs = []
+            read_jobs = {}  # batch row -> (is_fine, [job ids or None])
+            for j, i in enumerate(idxs):
+                read = batch[j]
+                read_len = len(read.seq)
+                is_fine, selected = self._select_rows(j, out, rows_by_read)
+                slots = []
+                fwd = rev = None
+                for k in selected:
+                    n = int(out["chain_len"][k])
+                    if n <= 1:
+                        slots.append(None)  # unmapped placeholder
+                        continue
+                    if fwd is None:
+                        fwd = seq_to_codes(read.seq)
+                        rev = revcomp_codes(fwd)
+                    is_rev = bool(out["cw_is_rev"][k])
+                    cq, ct, cl = self._chain_rows(out, chains_dev, k, n)
+                    chr_beg, chr_end = self.idx.chr_boundaries(
+                        int(ct[0]), int(ct[n - 1])
                     )
+                    job = {
+                        "cq": cq, "ct": ct, "cl": cl,
+                        "query": rev if is_rev else fwd,
+                        "read_len": read_len, "is_rev": is_rev,
+                    }
+                    job["descs"] = self._gap_descriptors(
+                        j, read_len, is_rev, cq, ct, cl, chr_beg, chr_end
+                    )
+                    slots.append(len(jobs))
+                    jobs.append(job)
+                read_jobs[j] = (is_fine, slots)
+
+            with self.metrics.timer("gap_dp"):
+                tables = self._precompute_gaps(jobs, reads_dev)
+
+            with self.metrics.timer("stitch"):
+                mappings_by_job = [
+                    self._stitch_job(job, tables.get(jid))
+                    for jid, job in enumerate(jobs)
+                ]
+
+            for j, i in enumerate(idxs):
+                read_len = len(batch[j].seq)
+                is_fine, slots = read_jobs[j]
+                mappings = [
+                    mappings_by_job[s] if s is not None
+                    else Mapping(records=[], total_score=-2 * read_len)
+                    for s in slots
+                ]
+                # fine mode: sort by totalScore (compareSam,
+                # src/LordFAST.cpp:986)
+                if is_fine:
+                    mappings.sort(key=lambda m: -m.total_score)
+                results[i] = mappings
 
         # software pipeline: keep up to `depth` batches in flight on the
         # device so host stitching of batch k overlaps device compute of
@@ -235,7 +484,7 @@ class MappingEngine:
             wi = 0
             for r in chunk:
                 self.stats["reads"] += 1
-                if len(r.seq) < cfg.min_read_len:
+                if not in_range(r):
                     sam_io.emit_read(
                         out, self.idx, cfg, r.name, r.seq, r.qual, []
                     )

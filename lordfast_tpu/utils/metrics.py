@@ -26,7 +26,8 @@ class Metrics:
     verbosity: int = 0
     counters: dict = field(default_factory=lambda: defaultdict(int))
     timers: dict = field(default_factory=lambda: defaultdict(float))
-    _t0: dict = field(default_factory=dict)
+    _snap_c: dict = field(default_factory=dict)
+    _snap_t: dict = field(default_factory=dict)
 
     def add(self, name: str, n: int = 1) -> None:
         self.counters[name] += int(n)
@@ -39,6 +40,19 @@ class Metrics:
         finally:
             self.timers[name] += time.time() - t0
 
+    def reset(self) -> None:
+        """Fresh counters/timers (engine calls this per map_file run so
+        warmup/compile passes do not leak into timed passes)."""
+        self.counters.clear()
+        self.timers.clear()
+        self._snap_c.clear()
+        self._snap_t.clear()
+
+    def snapshot(self) -> None:
+        """Record current values; chunk_line reports deltas since here."""
+        self._snap_c = dict(self.counters)
+        self._snap_t = dict(self.timers)
+
     def log(self, level: int, msg: str) -> None:
         """LOG1/LOG2/LOG3 equivalent (src/Common.h:33-49), gated at
         runtime instead of compile time."""
@@ -46,14 +60,17 @@ class Metrics:
             print(msg, file=sys.stderr, flush=True)
 
     def chunk_line(self, chunk_id: int, n_reads: int, dt: float) -> str:
-        c, t = self.counters, self.timers
+        c = {k: v - self._snap_c.get(k, 0) for k, v in self.counters.items()}
+        t = {k: v - self._snap_t.get(k, 0.0) for k, v in self.timers.items()}
+        c = defaultdict(int, c)
+        t = defaultdict(float, t)
         return (
             f"[chunk {chunk_id}] {n_reads} reads in {dt:.2f}s | "
             f"seeds {c['seeds']} cands {c['candidates']} "
             f"fine {c['fine_reads']} chains {c['chained_windows']} | "
             f"splits {c['splits']} inversions {c['inversions']} | "
-            f"device {t['device']:.2f}s stitch {t['stitch']:.2f}s "
-            f"emit {t['emit']:.2f}s"
+            f"device {t['device']:.2f}s gap_dp {t['gap_dp']:.2f}s "
+            f"stitch {t['stitch']:.2f}s emit {t['emit']:.2f}s"
         )
 
     def to_json(self) -> str:
