@@ -56,6 +56,19 @@ class MappingEngine:
         self.mesh = mesh
         self.stats = {"reads": 0, "mapped": 0, "chunks": 0, "batches": 0}
         self.metrics = Metrics(verbosity=getattr(self.cfg, "verbosity", 0))
+        # host worker pool over stitch jobs — the TPU-era analog of the
+        # reference's per-core pthread pool (src/LordFAST.cpp:305-316).
+        # The native stitcher runs with the GIL released (ctypes), so
+        # threads scale across host cores; 0 = one per core.
+        import os
+
+        n_workers = self.cfg.num_threads or (os.cpu_count() or 1)
+        if n_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=n_workers)
+        else:
+            self._pool = None
         # one jitted function for the whole device stage: eager op-by-op
         # dispatch costs a host<->device roundtrip per op, which dominates
         # wall time on remote/tunneled TPU backends
@@ -288,19 +301,38 @@ class MappingEngine:
         return out
 
     def _stitch_job(self, job, gap_table) -> Mapping:
-        cfg = self.cfg
-        m = align_and_score(
+        # thread-pool worker: must not touch shared mutable state
+        # (metrics are accounted serially by the caller)
+        return align_and_score(
             job["cq"], job["ct"], job["cl"], job["query"], job["read_len"],
-            job["is_rev"], self.idx, cfg, gap_table=gap_table,
+            job["is_rev"], self.idx, self.cfg, gap_table=gap_table,
         )
-        if len(m.records) > 1:
-            self.metrics.add("splits", len(m.records) - 1)
-            base = 16 if job["is_rev"] else 0
-            self.metrics.add(
-                "inversions",
-                sum(1 for r in m.records if (r.flag & 16) != base),
+
+    def _stitch_all(self, jobs, tables) -> List[Mapping]:
+        """Stitch every selected window of the batch, across host threads
+        when a pool exists (reference parity: one worker per core,
+        src/LordFAST.cpp:305-316; --threads / cfg.num_threads)."""
+        if self._pool is not None and len(jobs) > 1:
+            mappings = list(
+                self._pool.map(
+                    lambda it: self._stitch_job(it[1], tables.get(it[0])),
+                    enumerate(jobs),
+                )
             )
-        return m
+        else:
+            mappings = [
+                self._stitch_job(job, tables.get(jid))
+                for jid, job in enumerate(jobs)
+            ]
+        for job, m in zip(jobs, mappings):
+            if len(m.records) > 1:
+                self.metrics.add("splits", len(m.records) - 1)
+                base = 16 if job["is_rev"] else 0
+                self.metrics.add(
+                    "inversions",
+                    sum(1 for r in m.records if (r.flag & 16) != base),
+                )
+        return mappings
 
     # ---- main loop ----
     def map_file(self, seq_path, out: TextIO, command_line: str = "",
@@ -449,10 +481,7 @@ class MappingEngine:
                 tables = self._precompute_gaps(jobs, reads_dev)
 
             with self.metrics.timer("stitch"):
-                mappings_by_job = [
-                    self._stitch_job(job, tables.get(jid))
-                    for jid, job in enumerate(jobs)
-                ]
+                mappings_by_job = self._stitch_all(jobs, tables)
 
             for j, i in enumerate(idxs):
                 read_len = len(batch[j].seq)
