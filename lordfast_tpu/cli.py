@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="runtime verbosity 0-3 (reference VERBOSITY builds)")
     p.add_argument("--profile", default="", metavar="DIR",
                    help="write a jax.profiler trace of the mapping run")
+    p.add_argument("--shardIndex", action="store_true",
+                   help="stripe the FM-index over all devices with routed "
+                        "lookups instead of replicating it (for indexes "
+                        "too big for one chip's HBM; SURVEY.md §5.8)")
     return p
 
 
@@ -144,7 +148,20 @@ def main(argv=None) -> int:
         idx = build_index(args.search, cfg)
         save_index(idx, ipath)
 
-    engine = MappingEngine(idx, cfg)
+    if args.shardIndex:
+        import jax
+
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices())
+        # batch must divide evenly over the mesh
+        if cfg.batch_reads % mesh.size:
+            cfg = cfg.replace(
+                batch_reads=-(-cfg.batch_reads // mesh.size) * mesh.size
+            )
+        engine = MappingEngine(idx, cfg, mesh=mesh, shard_index=True)
+    else:
+        engine = MappingEngine(idx, cfg)
     cmdline = "lordfast-tpu " + " ".join(argv)
     from .utils.checkpoint import ChunkProgress
     from .utils.metrics import profiler_trace

@@ -116,37 +116,30 @@ class FMIndex:
 
     # ---- device placement ----
 
-    def device_arrays(self, sharding=None) -> dict:
-        """Put the search-path arrays on device (replicated by default).
+    def host_arrays(self) -> dict:
+        """The search-path arrays as host numpy, in device layout.
 
-        Returns a dict pytree used by the device kernels; cached after the
-        first call.  ``pac_words`` is the forward genome re-packed 16
-        bases/uint32 for device gap-DP reference fetches.
+        ``pac_words`` is the forward genome re-packed 16 bases/uint32 for
+        device gap-DP reference fetches.  When the fused rank row fits
+        (see below) the redundant ``occ_cp``/``bwt_blocks`` pair is
+        omitted (the kernels use one layout or the other).
         """
-        if self._device is not None:
-            return self._device
-        import jax
-        import jax.numpy as jnp
-
         from ..utils.pack import pack_bwt_words, unpack_pac
 
         pdt = self.pos_dtype
         fwd_codes = unpack_pac(self.pac, 0, self.l_pac)
         bwt_blocks = self.bwt_words.reshape(-1, 8)
         arrs = {
-            "bwt_words": jnp.asarray(self.bwt_words),
-            # block-major view for rank: one row = one 128-base block
-            "bwt_blocks": jnp.asarray(bwt_blocks),
-            "occ_cp": jnp.asarray(self.occ_cp),
-            "sa_samp": jnp.asarray(self.sa_samp.astype(pdt)),
-            "kcache_beg": jnp.asarray(self.kcache_beg.astype(pdt)),
-            "kcache_end": jnp.asarray(self.kcache_end.astype(pdt)),
-            "L2": jnp.asarray(self.L2.astype(pdt)),
-            "pac_words": jnp.asarray(pack_bwt_words(fwd_codes)),
-            "contig_offsets": jnp.asarray(self.contig_offsets.astype(pdt)),
-            "contig_ends": jnp.asarray(
-                (self.contig_offsets + self.contig_lengths).astype(pdt)
-            ),
+            "bwt_words": self.bwt_words,
+            "sa_samp": self.sa_samp.astype(pdt),
+            "kcache_beg": self.kcache_beg.astype(pdt),
+            "kcache_end": self.kcache_end.astype(pdt),
+            "L2": self.L2.astype(pdt),
+            "pac_words": pack_bwt_words(fwd_codes),
+            "contig_offsets": self.contig_offsets.astype(pdt),
+            "contig_ends": (
+                self.contig_offsets + self.contig_lengths
+            ).astype(pdt),
         }
         # Fused rank row: [cp(A..T) | 8 BWT words] as one (n_blocks, 12)
         # uint32 array, so a rank query is a single 48-byte row gather
@@ -159,10 +152,33 @@ class FMIndex:
             fused = np.empty((nb, 12), dtype=np.uint32)
             fused[:, :4] = self.occ_cp[:nb].astype(np.uint32)
             fused[:, 4:] = bwt_blocks
-            arrs["fm_blocks"] = jnp.asarray(fused)
+            arrs["fm_blocks"] = fused
+        else:
+            # block-major view for rank: one row = one 128-base block
+            arrs["occ_cp"] = self.occ_cp
+            arrs["bwt_blocks"] = bwt_blocks
+        return arrs
+
+    def device_arrays(self, sharding=None) -> dict:
+        """Put the search-path arrays on device (replicated by default).
+
+        Returns a dict pytree used by the device kernels; cached per
+        sharding (tests build meshes of several sizes over one index).
+        """
+        if self._device is None:
+            self._device = {}
+        cached = self._device.get(sharding)
+        if cached is not None:
+            return cached
+        import jax
+        import jax.numpy as jnp
+
+        host = self.host_arrays()
         if sharding is not None:
-            arrs = {k: jax.device_put(v, sharding) for k, v in arrs.items()}
-        self._device = arrs
+            arrs = {k: jax.device_put(v, sharding) for k, v in host.items()}
+        else:
+            arrs = {k: jnp.asarray(v) for k, v in host.items()}
+        self._device[sharding] = arrs
         return arrs
 
     @property

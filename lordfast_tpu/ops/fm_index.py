@@ -38,6 +38,42 @@ import jax.numpy as jnp
 MAX_ANCHOR_LEN = 4095
 
 
+def _row_gather(stripe, rows, axis):
+    """Row gather from an index array, local or interval-routed.
+
+    axis=None: ``stripe`` is the full (replicated) array — plain gather.
+    axis=<mesh axis name>: ``stripe`` is this device's row stripe of the
+    array (shard_map local view; global row r lives on shard r // rps at
+    local row r % rps).  The query rows are all-gathered over the axis,
+    every shard answers the subset it owns (zeros elsewhere), and a
+    reduce-scatter returns each device the answers to its own queries —
+    the TPU-native routing of bwa's shared-memory Occ lookups
+    (lib/bwa/bwt.c:107-166) per SURVEY.md §5.8.
+    """
+    if axis is None:
+        return stripe[rows]
+    rps = stripe.shape[0]
+    d = jax.lax.axis_index(axis)
+    all_rows = jax.lax.all_gather(rows, axis)  # (D, ...) global queries
+    loc = all_rows - jnp.asarray(d, all_rows.dtype) * rps
+    ok = (loc >= 0) & (loc < rps)
+    vals = stripe[jnp.clip(loc, 0, rps - 1)]
+    mask = ok if stripe.ndim == 1 else ok[..., None]
+    vals = jnp.where(mask, vals, jnp.zeros((), vals.dtype))
+    # each row is owned by exactly one shard -> sum-combine
+    return jax.lax.psum_scatter(vals, axis, scatter_dimension=0,
+                                tiled=False)
+
+
+def _global_any(x, axis):
+    """any(x), reduced over the mesh axis when sharded so lockstep
+    while-loops (whose bodies contain collectives) terminate together."""
+    v = jnp.any(x)
+    if axis is None:
+        return v
+    return jax.lax.psum(v.astype(jnp.int32), axis) > 0
+
+
 def _occ_finish(arrs, res, c, is_total, is_none, pdt):
     """Boundary handling shared by the occ layouts: k == seq_len returns
     the char total, k < 0 returns 0 (bwt_occ, lib/bwa/bwt.c:109-112)."""
@@ -46,11 +82,13 @@ def _occ_finish(arrs, res, c, is_total, is_none, pdt):
     return jnp.where(is_none, 0, res)
 
 
-def occ(arrs, meta, k, c):
+def occ(arrs, meta, k, c, axis=None):
     """Occ(c, k): count of char c in the $-removed BWT prefix at row k.
 
     Semantics of bwt_occ (lib/bwa/bwt.c:107-129) including the primary-row
     adjustment; k in [-1, seq_len], c in [0, 3].  Shapes broadcast.
+    axis: mesh axis name when the block arrays are row-sharded (see
+    _row_gather).
     """
     pdt = jnp.asarray(k).dtype
     seq_len = meta["seq_len"]
@@ -71,7 +109,7 @@ def occ(arrs, meta, k, c):
         # The checkpoint select and the in-block popcount are folded into a
         # single 12-lane reduction so XLA keeps them in one gather fusion
         # (two separate reduces get split into two 128k-row gathers).
-        row = arrs["fm_blocks"][blk]  # (..., 12) uint32
+        row = _row_gather(arrs["fm_blocks"], blk, axis)  # (..., 12) uint32
         lane12 = jnp.arange(12, dtype=jnp.int32)
         c32 = c.astype(jnp.uint32)[..., None]
         hi = jnp.where((c32 & 2) != 0, row, ~row)
@@ -98,12 +136,15 @@ def occ(arrs, meta, k, c):
         return _occ_finish(arrs, contrib.sum(axis=-1).astype(pdt),
                            c, is_total, is_none, pdt)
     else:
-        base = arrs["occ_cp"][blk, c].astype(pdt)
+        cp = _row_gather(arrs["occ_cp"], blk, axis)  # (..., 4)
+        base = jnp.take_along_axis(
+            cp, c.astype(jnp.int32)[..., None], axis=-1
+        )[..., 0].astype(pdt)
 
         # in-block popcount over 8 uint32 words (16 bases each); one row
         # gather of 32 contiguous bytes per lane (bwa's interleaving
         # rationale, lib/bwa/bwt.h:72-78, applied to HBM burst efficiency)
-        w = arrs["bwt_blocks"][blk]  # (..., 8) uint32
+        w = _row_gather(arrs["bwt_blocks"], blk, axis)  # (..., 8) uint32
     c32 = c.astype(jnp.uint32)[..., None]
     hi = jnp.where((c32 & 2) != 0, w, ~w)
     lo = jnp.where((c32 & 1) != 0, w, ~w)
@@ -129,27 +170,27 @@ def occ(arrs, meta, k, c):
     return res
 
 
-def backward_ext(arrs, meta, k, l, c):
+def backward_ext(arrs, meta, k, l, c, axis=None):
     """One backward-search step: [k, l] -> interval of c+pattern
     (bwt_count_exact inner step, src/BWT.cpp:255-258).
 
     The two rank queries are stacked into ONE occ call so the block
     gathers issue as a single larger gather (the TPU analogue of bwa's
     bwt_2occ fusion, lib/bwa/bwt.c:132-166)."""
-    both = occ(arrs, meta, jnp.stack([k - 1, l]), c[None])
+    both = occ(arrs, meta, jnp.stack([k - 1, l]), c[None], axis=axis)
     ok, ol = both[0], both[1]
     L2c = arrs["L2"][c].astype(jnp.asarray(k).dtype)
     return L2c + ok + 1, L2c + ol
 
 
-def bwt_b0(arrs, k):
+def bwt_b0(arrs, k, axis=None):
     """BWT char at $-removed position k (bwt_B0, lib/bwa/bwt.h:78)."""
-    w = arrs["bwt_words"][k >> 4]
+    w = _row_gather(arrs["bwt_words"], k >> 4, axis)
     sh = ((((~k) & 15) << 1)).astype(jnp.uint32)
     return ((w >> sh) & 3).astype(jnp.asarray(k).dtype)
 
 
-def sa_lookup(arrs, meta, rows, valid):
+def sa_lookup(arrs, meta, rows, valid, axis=None):
     """SA values for a batch of rows: lockstep inverse-Psi walk until a
     sampled row (bwt_sa, lib/bwa/bwt.c:86-96).  rows outside ``valid`` are
     untouched and return 0."""
@@ -157,31 +198,37 @@ def sa_lookup(arrs, meta, rows, valid):
     primary = meta["primary"]
     intv = meta["sa_intv"]
     if intv == 1:  # full SA on device: locate is a single gather
-        return jnp.where(valid, arrs["sa_samp"][rows].astype(pdt), 0)
+        return jnp.where(
+            valid, _row_gather(arrs["sa_samp"], rows, axis).astype(pdt), 0
+        )
     mask = intv - 1
     log2_intv = int(intv).bit_length() - 1
 
     def cond(state):
-        rows, steps, active = state
-        return jnp.any(active)
+        rows, steps, active, ga = state
+        return ga
 
     def body(state):
-        rows, steps, active = state
+        rows, steps, active, _ = state
         k = rows
         # bwt_invPsi (lib/bwa/bwt.c:53-59)
         x = k - (k > primary).astype(pdt)
-        ch = bwt_b0(arrs, x)
-        nxt = arrs["L2"][ch].astype(pdt) + occ(arrs, meta, k, ch)
+        ch = bwt_b0(arrs, x, axis=axis)
+        nxt = arrs["L2"][ch].astype(pdt) + occ(arrs, meta, k, ch, axis=axis)
         nxt = jnp.where(k == primary, 0, nxt).astype(pdt)
         rows = jnp.where(active, nxt, rows)
         steps = steps + active.astype(pdt)
         active = active & ((rows & mask) != 0)
-        return rows, steps, active
+        return rows, steps, active, _global_any(active, axis)
 
     steps0 = jnp.zeros_like(rows)
     active0 = valid & ((rows & mask) != 0)
-    rows_f, steps_f, _ = jax.lax.while_loop(cond, body, (rows, steps0, active0))
-    sa = steps_f + arrs["sa_samp"][rows_f >> log2_intv].astype(pdt)
+    rows_f, steps_f, _, _ = jax.lax.while_loop(
+        cond, body, (rows, steps0, active0, _global_any(active0, axis))
+    )
+    sa = steps_f + _row_gather(
+        arrs["sa_samp"], rows_f >> log2_intv, axis
+    ).astype(pdt)
     return jnp.where(valid, sa, 0)
 
 
@@ -219,12 +266,12 @@ def sample_positions_host(read_lens, sampling_count):
     jax.jit,
     static_argnames=(
         "meta_t", "sampling_count", "min_anchor_len", "max_ref_hits",
-        "max_seeds", "phase1_steps", "compact_frac",
+        "max_seeds", "phase1_steps", "compact_frac", "axis",
     ),
 )
 def _seed_anchors_impl(
     arrs, reads, read_lens, pos, meta_t, sampling_count, min_anchor_len,
-    max_ref_hits, max_seeds, phase1_steps=24, compact_frac=8,
+    max_ref_hits, max_seeds, phase1_steps=24, compact_frac=8, axis=None,
 ):
     meta = dict(meta_t)
     pdt = jnp.int32 if meta["seq_len"] < 2**31 - 1 else jnp.int64
@@ -288,7 +335,7 @@ def _seed_anchors_impl(
     alive0 = (~has_n) & (k0 <= l0) & (pos_f + kc <= read_lens[b_lane])
 
     def _ext_body(st, posf, bf):
-        alive, k, l, m, i, lo, hi, bw = st
+        alive, k, l, m, i, lo, hi, bw, _ = st
 
         def refill(_):
             q0 = jnp.clip(posf + m, 0, L - 1)
@@ -307,20 +354,22 @@ def _seed_anchors_impl(
         c = ((word >> shift) & jnp.uint64(7)).astype(jnp.int32)
         ok_char = in_rd & (c < 4)
         cc = jnp.where(ok_char, 3 - c, 0).astype(pdt)  # complemented
-        nk, nl = backward_ext(arrs, meta, k, l, cc)
+        nk, nl = backward_ext(arrs, meta, k, l, cc, axis=axis)
         success = alive & ok_char & (nk <= nl) & (m < max_ext)
         k = jnp.where(success, nk, k)
         l = jnp.where(success, nl, l)
         m = jnp.where(success, m + 1, m)
-        return success, k, l, m, i + 1, lo, hi, bw
+        return (success, k, l, m, i + 1, lo, hi, bw,
+                _global_any(success, axis))
 
     def _carry0(alive, k, l, m):
         z64 = jnp.zeros_like(m, dtype=jnp.uint64)
-        return (alive, k, l, m, jnp.int32(0), z64, z64, jnp.zeros_like(m))
+        return (alive, k, l, m, jnp.int32(0), z64, z64, jnp.zeros_like(m),
+                _global_any(alive, axis))
 
     def ext_loop_flat(alive, k, l, m, posf, bf, max_steps=None):
         def cond(st):
-            out = jnp.any(st[0])
+            out = st[8]
             if max_steps is not None:
                 out = out & (st[4] < max_steps)
             return out
@@ -361,10 +410,14 @@ def _seed_anchors_impl(
 
     m0 = jnp.full((BS,), kc, dtype=jnp.int32)
     caps = []
-    c = BS // compact_frac
-    while c > 512:
-        caps.append(max(c, 256))
-        c //= 3
+    if axis is None:
+        # staged compaction takes a data-dependent branch per device;
+        # under a sharded index every step is a collective, so all
+        # devices must trace the same path -> plain lockstep loop there
+        c = BS // compact_frac
+        while c > 512:
+            caps.append(max(c, 256))
+            c //= 3
     kf, lf, mf = staged_ext(alive0, k0, l0, m0, pos_f, b_lane, caps)
     kf = kf.reshape(B, S)
     lf = lf.reshape(B, S)
@@ -415,7 +468,7 @@ def _seed_anchors_impl(
     row = kf[bidx, sidx].astype(pdt) + (slot - starts[bidx, sidx]).astype(pdt)
     row = jnp.where(slot_valid, row, 0)
 
-    p_occ = sa_lookup(arrs, meta, row, slot_valid)
+    p_occ = sa_lookup(arrs, meta, row, slot_valid, axis=axis)
 
     # ---- mirror back to the reference's seed coordinates ----
     m_s = mf[bidx, sidx]

@@ -51,48 +51,56 @@ def device_pipeline(meta, cfg):
                 cfg.max_seeds_per_read, cfg.seed_phase1_steps,
                 cfg.seed_compact_frac,
             )
-        with jax.named_scope("lf_vote"):
-            cands = vote_ops.vote_windows(seeds, lens, cfg)
-        k_windows = reads.shape[0] * cfg.compact_windows_per_read
-        with jax.named_scope("lf_select"):
-            cw = chain_ops.compact_candidates(cands, cfg, k_windows)
-            ws = chain_ops.select_window_seeds(seeds, cw, lens, arrs, cfg)
-        with jax.named_scope("lf_chain"):
-            chains = chain_ops.chain_seeds(ws, cfg)
-
-        # Host-bound results, trimmed on device: the host<->device link may
-        # be a tunnel at ~30 MB/s, so the chains tensor (K x N x 3 words)
-        # is cut to the first chain_transfer_cap slots with (qPos, len)
-        # packed into one int32 (qPos < 2^18 given SEQ_MAX_LENGTH=250k,
-        # len < 2^12 given the 12-bit Seed_t.len field).  Chains longer
-        # than the cap (rare, ultra-long reads) are fetched lazily from
-        # the full on-device tensor.
-        ncap = min(cfg.chain_transfer_cap, chains.q_pos.shape[-1])
-        packed = (chains.q_pos[:, :ncap].astype(jnp.int32) << 12) | (
-            chains.length[:, :ncap].astype(jnp.int32)
-        )
-        host_out = {
-            # per-batch stage counters, reduced on device (SURVEY.md §5.5)
-            "stat_seeds": seeds.n_total.astype(jnp.int32).sum(),
-            "stat_candidates": cands.valid.sum().astype(jnp.int32),
-            "stat_fine_reads": cands.is_fine.sum().astype(jnp.int32),
-            "stat_chained_windows": (chains.chain_len > 1).sum().astype(
-                jnp.int32
-            ),
-            "cand_valid0": cands.valid[:, 0],
-            "is_fine": cands.is_fine,
-            "cw_read_idx": cw.read_idx,
-            "cw_cand_idx": cw.cand_idx,
-            "cw_is_rev": cw.is_rev,
-            "cw_valid": cw.valid,
-            "chain_len": chains.chain_len,
-            "chain_score": chains.score,
-            "chain_t": chains.t_pos[:, :ncap],
-            "chain_ql": packed,
-        }
-        return seeds, chains, host_out
+        return post_seed_stage(arrs, seeds, reads, lens, cfg)
 
     return fn
+
+
+def post_seed_stage(arrs, seeds, reads, lens, cfg):
+    """Everything after seeding (voting, selection, chaining, host-payload
+    trimming) — shared by the replicated and sharded-index pipelines.
+    These stages are pure per-read, so they shard over the read axis with
+    no collectives regardless of where the seeds came from."""
+    with jax.named_scope("lf_vote"):
+        cands = vote_ops.vote_windows(seeds, lens, cfg)
+    k_windows = reads.shape[0] * cfg.compact_windows_per_read
+    with jax.named_scope("lf_select"):
+        cw = chain_ops.compact_candidates(cands, cfg, k_windows)
+        ws = chain_ops.select_window_seeds(seeds, cw, lens, arrs, cfg)
+    with jax.named_scope("lf_chain"):
+        chains = chain_ops.chain_seeds(ws, cfg)
+
+    # Host-bound results, trimmed on device: the host<->device link may
+    # be a tunnel at ~30 MB/s, so the chains tensor (K x N x 3 words)
+    # is cut to the first chain_transfer_cap slots with (qPos, len)
+    # packed into one int32 (qPos < 2^18 given SEQ_MAX_LENGTH=250k,
+    # len < 2^12 given the 12-bit Seed_t.len field).  Chains longer
+    # than the cap (rare, ultra-long reads) are fetched lazily from
+    # the full on-device tensor.
+    ncap = min(cfg.chain_transfer_cap, chains.q_pos.shape[-1])
+    packed = (chains.q_pos[:, :ncap].astype(jnp.int32) << 12) | (
+        chains.length[:, :ncap].astype(jnp.int32)
+    )
+    host_out = {
+        # per-batch stage counters, reduced on device (SURVEY.md §5.5)
+        "stat_seeds": seeds.n_total.astype(jnp.int32).sum(),
+        "stat_candidates": cands.valid.sum().astype(jnp.int32),
+        "stat_fine_reads": cands.is_fine.sum().astype(jnp.int32),
+        "stat_chained_windows": (chains.chain_len > 1).sum().astype(
+            jnp.int32
+        ),
+        "cand_valid0": cands.valid[:, 0],
+        "is_fine": cands.is_fine,
+        "cw_read_idx": cw.read_idx,
+        "cw_cand_idx": cw.cand_idx,
+        "cw_is_rev": cw.is_rev,
+        "cw_valid": cw.valid,
+        "chain_len": chains.chain_len,
+        "chain_score": chains.score,
+        "chain_t": chains.t_pos[:, :ncap],
+        "chain_ql": packed,
+    }
+    return seeds, chains, host_out
 
 
 def sharded_pipeline(idx, cfg, mesh: Mesh):

@@ -44,12 +44,17 @@ def _pad_to_bucket(n: int, buckets=(1024, 2048, 4096, 8192, 16384, 32768,
 
 class MappingEngine:
     def __init__(self, idx: FMIndex, cfg: Optional[LordfastConfig] = None,
-                 mesh=None):
+                 mesh=None, shard_index: bool = False):
         """mesh: optional jax.sharding.Mesh with a "data" axis — the device
         stage is then sharded over reads across the mesh with the index
         replicated (the TPU-native analog of the reference's pthread pool,
         src/LordFAST.cpp:305-316).  cfg.batch_reads must be divisible by
-        the mesh size."""
+        the mesh size.
+
+        shard_index: stripe the FM-index rank/SA arrays over the mesh
+        instead of replicating them, with interval-routed lookups
+        (parallel/sharded_index.py; SURVEY.md §5.8) — for indexes too big
+        for one chip's HBM.  Requires mesh."""
         self.idx = idx
         self.cfg = (cfg or LordfastConfig()).validate()
         self.meta = idx.meta
@@ -75,6 +80,8 @@ class MappingEngine:
         from ..parallel.mesh import device_pipeline
         import jax
         fn = device_pipeline(self.meta, self.cfg)
+        if shard_index and mesh is None:
+            raise ValueError("shard_index requires a mesh")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -83,11 +90,18 @@ class MappingEngine:
             )
             repl = NamedSharding(mesh, P())
             self._shard0 = NamedSharding(mesh, P("data"))
-            self.arrs = idx.device_arrays(sharding=repl)
-            self._device_fn = jax.jit(
-                fn, in_shardings=(None, self._shard0, self._shard0,
-                                  self._shard0),
-            )
+            if shard_index:
+                from ..parallel.sharded_index import sharded_index_pipeline
+
+                self._device_fn, self.arrs = sharded_index_pipeline(
+                    idx, self.cfg, mesh
+                )
+            else:
+                self.arrs = idx.device_arrays(sharding=repl)
+                self._device_fn = jax.jit(
+                    fn, in_shardings=(None, self._shard0, self._shard0,
+                                      self._shard0),
+                )
         else:
             self._shard0 = None
             self.arrs = idx.device_arrays()
