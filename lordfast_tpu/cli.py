@@ -47,6 +47,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stripe the FM-index over all devices with routed "
                         "lookups instead of replicating it (for indexes "
                         "too big for one chip's HBM; SURVEY.md §5.8)")
+    # ---- multi-host (DCN) flags (parallel/multihost.py) ----
+    p.add_argument("--numProcesses", type=int, default=1,
+                   help="total mapping processes (hosts); this process "
+                        "maps chunks with id %% numProcesses == "
+                        "processIndex and writes <out>.part<i>")
+    p.add_argument("--processIndex", type=int, default=-1,
+                   help="this process's index (default: $LORDFAST_PROCESS_"
+                        "INDEX or 0)")
+    p.add_argument("--coordinator", default="",
+                   help="host:port of the jax.distributed coordinator; "
+                        "when set the processes form one distributed "
+                        "runtime, barrier at end of mapping, and process "
+                        "0 merges the shards")
+    p.add_argument("--mergeShards", action="store_true",
+                   help="merge <out>.part0..N-1 (from a --numProcesses "
+                        "run) into <out> in input order and exit")
+    p.add_argument("--chunkSize", type=int, default=0, metavar="BYTES",
+                   help="read-chunk size (default 100 MB, the reference's "
+                        "bound, src/baseFAST.cpp:59)")
     return p
 
 
@@ -104,6 +123,7 @@ def config_from_args(args) -> LordfastConfig:
         no_sam_header=args.noSamHeader,
         num_threads=args.threads,
         verbosity=args.verbose,
+        **({"chunk_bytes": args.chunkSize} if args.chunkSize > 0 else {}),
     ).validate()
 
 
@@ -114,6 +134,18 @@ def main(argv=None) -> int:
         from . import __version__
 
         print(f"lordfast-tpu {__version__}")
+        return 0
+
+    if args.mergeShards:
+        if not args.out or args.numProcesses < 1:
+            print("[ERROR] --mergeShards requires --out and --numProcesses",
+                  file=sys.stderr)
+            return 1
+        from .parallel.multihost import merge_shards
+
+        n = merge_shards(args.out, args.numProcesses)
+        print(f"[NOTE] merged {n} chunks from {args.numProcesses} shards "
+              f"into {args.out}", file=sys.stderr)
         return 0
 
     if bool(args.index) == bool(args.search):
@@ -148,6 +180,23 @@ def main(argv=None) -> int:
         idx = build_index(args.search, cfg)
         save_index(idx, ipath)
 
+    # ---- multi-host setup (parallel/multihost.py) ----
+    import os as _os
+
+    num_procs = max(1, args.numProcesses)
+    proc_idx = (args.processIndex if args.processIndex >= 0
+                else int(_os.environ.get("LORDFAST_PROCESS_INDEX", "0")))
+    out_path = args.out
+    if num_procs > 1:
+        if not args.out:
+            print("[ERROR] --numProcesses requires --out (per-host shard "
+                  "files)", file=sys.stderr)
+            return 1
+        from .parallel.multihost import maybe_init_distributed, shard_path
+
+        maybe_init_distributed(args.coordinator, num_procs, proc_idx)
+        out_path = shard_path(args.out, proc_idx)
+
     if args.shardIndex:
         import jax
 
@@ -168,8 +217,10 @@ def main(argv=None) -> int:
 
     progress = None
     mode = "w"
+    prior_table = []
     if args.out and args.resume:
-        progress = ChunkProgress(args.out, str(args.seq),
+        progress = ChunkProgress(out_path, str(args.seq),
+                                 process_index=proc_idx,
                                  chunk_bytes=cfg.chunk_bytes)
         if progress.load() >= 0:
             mode = "a"
@@ -179,11 +230,26 @@ def main(argv=None) -> int:
             try:
                 import os
 
-                if os.path.getsize(args.out) > progress.out_offset:
-                    with open(args.out, "r+") as f:
+                if os.path.getsize(out_path) > progress.out_offset:
+                    with open(out_path, "r+") as f:
                         f.truncate(progress.out_offset)
             except OSError:
                 pass
+            if num_procs > 1:
+                # keep the durable part of the shard's chunk table
+                from .parallel.multihost import chunks_path
+
+                try:
+                    import json
+
+                    rec = json.loads(open(chunks_path(out_path)).read())
+                    prior_table = [
+                        tuple(c) for c in rec["chunks"]
+                        if c[0] <= progress.last_done
+                        and c[2] <= progress.out_offset
+                    ]
+                except (OSError, ValueError, KeyError):
+                    prior_table = []
             print(
                 f"[NOTE] resuming after chunk {progress.last_done}",
                 file=sys.stderr,
@@ -191,15 +257,34 @@ def main(argv=None) -> int:
     elif args.resume:
         print("[WARNING] --resume requires --out; ignoring", file=sys.stderr)
     if args.out and progress is None:
-        progress = ChunkProgress(args.out, str(args.seq),
+        progress = ChunkProgress(out_path, str(args.seq),
+                                 process_index=proc_idx,
                                  chunk_bytes=cfg.chunk_bytes)
 
     with profiler_trace(args.profile):
         if args.out:
-            with open(args.out, mode) as out:
-                engine.map_file(args.seq, out, cmdline, progress=progress)
+            with open(out_path, mode) as out:
+                engine.map_file(args.seq, out, cmdline, progress=progress,
+                                process_index=proc_idx,
+                                num_processes=num_procs)
         else:
-            engine.map_file(args.seq, sys.stdout, cmdline)
+            engine.map_file(args.seq, sys.stdout, cmdline,
+                            process_index=proc_idx,
+                            num_processes=num_procs)
+
+    if num_procs > 1:
+        from .parallel.multihost import (barrier, merge_shards,
+                                         write_chunk_table)
+
+        write_chunk_table(out_path, prior_table + engine.chunk_table)
+        # with a live distributed runtime, process 0 merges after the
+        # cross-host barrier; otherwise run --mergeShards separately
+        barrier("lordfast-map-done")
+        if args.coordinator and proc_idx == 0:
+            n = merge_shards(args.out, num_procs)
+            print(f"[NOTE] merged {n} chunks into {args.out}",
+                  file=sys.stderr)
+        barrier("lordfast-merge-done")
     if cfg.verbosity >= 1:
         print("[metrics] " + engine.metrics.to_json(), file=sys.stderr)
     # cumulative across resumed runs (persisted in the progress sidecar)

@@ -350,15 +350,24 @@ class MappingEngine:
 
     # ---- main loop ----
     def map_file(self, seq_path, out: TextIO, command_line: str = "",
-                 progress: Optional[ChunkProgress] = None):
+                 progress: Optional[ChunkProgress] = None,
+                 process_index: int = 0, num_processes: int = 1):
         """Map every read of seq_path, writing SAM to out.
 
         progress: optional chunk-level checkpoint (SURVEY.md §5.4) — chunks
         with id <= progress.last_done are skipped (already in the output of
-        a previous run); each completed chunk is recorded durably."""
+        a previous run); each completed chunk is recorded durably.
+
+        process_index / num_processes: multi-host sharding — this process
+        maps only chunks with chunk_id % num_processes == process_index
+        (the DCN analogue of the reference's independent chunks,
+        src/baseFAST.cpp:64-78; parallel/multihost.py merges the per-host
+        shards).  self.chunk_table records (chunk_id, byte_start,
+        byte_end) per completed chunk for the ordered merge."""
         cfg = self.cfg
         # fresh counters/timers per run (chunk lines report deltas)
         self.metrics.reset()
+        self.chunk_table = []
         resume_from = progress.last_done if progress else -1
         if resume_from >= 0:
             # seed cumulative stats from the sidecar so run totals and
@@ -368,8 +377,17 @@ class MappingEngine:
         if not cfg.no_sam_header and resume_from < 0:
             sam_io.write_header(out, self.idx, cfg, command_line)
 
+        def _tell():
+            try:
+                out.flush()
+                return out.tell()
+            except (OSError, AttributeError):
+                return 0
+
         for chunk_id, chunk in enumerate(read_chunks(seq_path,
                                                      cfg.chunk_bytes)):
+            if chunk_id % num_processes != process_index:
+                continue
             if chunk_id <= resume_from:
                 self.metrics.log(
                     1, f"[engine] chunk {chunk_id} already done; skipping"
@@ -378,7 +396,9 @@ class MappingEngine:
             t0 = time.time()
             self.stats["chunks"] += 1
             self.metrics.snapshot()
+            c_start = _tell()
             self._map_chunk(chunk, out)
+            self.chunk_table.append((chunk_id, c_start, _tell()))
             if progress is not None:
                 out.flush()
                 try:
