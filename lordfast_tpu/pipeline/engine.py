@@ -125,14 +125,19 @@ class MappingEngine:
         return self._device_fn(self.arrs, reads_arr, lens, pos)
 
     # ---- per-read host resolution ----
-    def _chain_rows(self, out, chains_dev, k: int, n: int):
+    def _chain_rows(self, out, chains_dev, k: int, n: int, wide=None):
         """Chain arrays for window row k: from the eagerly-transferred
-        trimmed tensors when the chain fits, else a lazy per-row fetch of
-        the full on-device tensor (rare: ultra-long reads)."""
+        trimmed tensors when the chain fits, else from the batched wide
+        fetch (_fetch_wide_rows); a direct per-row device fetch only as
+        a last resort."""
         if n <= out["chain_ql"].shape[1]:
             ql = out["chain_ql"][k, :n]
             return (ql >> 12).astype(np.int64), out["chain_t"][k, :n], \
                 (ql & 4095).astype(np.int64)
+        if wide is not None and k in wide:
+            q, t, ln = wide[k]
+            return (q[:n].astype(np.int64), t[:n],
+                    ln[:n].astype(np.int64))
         import jax
 
         q, t, ln = jax.device_get(
@@ -140,6 +145,34 @@ class MappingEngine:
              chains_dev.length[k, :n])
         )
         return q, t, ln
+
+    def _fetch_wide_rows(self, chains_dev, rows, nmax: int):
+        """One batched device gather + device_get for every selected chain
+        longer than the eager transfer cap — a single roundtrip per batch
+        instead of one per row (roundtrip latency dominates on remote
+        backends).  Row count and width are padded to buckets so XLA
+        compiles a bounded set of gather shapes."""
+        import jax
+        import jax.numpy as jnp
+
+        Nfull = chains_dev.q_pos.shape[1]
+        W = Nfull
+        for b in (192, 256, 384, 512, 1024, 2048, 4096):
+            if nmax <= b <= Nfull:
+                W = b
+                break
+        R = 8
+        while R < len(rows):
+            R <<= 1
+        ridx = np.zeros(R, np.int32)
+        ridx[: len(rows)] = rows
+        ridx_dev = jnp.asarray(ridx)
+        q, t, ln = jax.device_get((
+            chains_dev.q_pos[ridx_dev, :W],
+            chains_dev.t_pos[ridx_dev, :W],
+            chains_dev.length[ridx_dev, :W],
+        ))
+        return {int(k): (q[i], t[i], ln[i]) for i, k in enumerate(rows)}
 
     def _select_rows(self, b: int, out, rows_by_read):
         """Window selection per read: coarse mode stitches the single
@@ -247,6 +280,12 @@ class MappingEngine:
                 tables[job_id] = t
             return t
 
+        # Phase 1: dispatch every sub-batch asynchronously (JAX dispatch
+        # does not block); phase 2: ONE blocking device_get for all of
+        # them.  One roundtrip per batch instead of one per sub-batch —
+        # the roundtrip latency (not bandwidth) dominates on remote or
+        # tunneled TPU backends.
+        pending = []  # (part, GapResult)
         for bi, items in enumerate(per_bucket):
             if not items:
                 continue
@@ -254,7 +293,6 @@ class MappingEngine:
             self.metrics.add(f"gaps_b{Q}", len(items))
             for s in range(0, len(items), G):
                 part = items[s : s + G]
-                g = len(part)
                 desc = {
                     "q_read": np.zeros(G, np.int32),
                     "q_start": np.zeros(G, np.int32),
@@ -281,11 +319,17 @@ class MappingEngine:
                     self.arrs["pac_words"], reads_dev, desc, Q, T,
                     self.meta["l_pac"],
                 )
-                import jax
+                pending.append((part, res))
 
-                dist, end, packed, mlen = jax.device_get(
-                    (res.dist, res.end, res.moves_packed, res.mlen)
-                )
+        if pending:
+            import jax
+
+            fetched = jax.device_get([
+                (r.dist, r.end, r.moves_packed, r.mlen) for _, r in pending
+            ])
+            for (part, _), (dist, end, packed, mlen) in zip(pending,
+                                                            fetched):
+                g = len(part)
                 moves = gap_dp.unpack_moves(packed[:g], mlen[:g])
                 for gi, (job_id, d) in enumerate(part):
                     slot = d[0]
@@ -477,13 +521,33 @@ class MappingEngine:
                 if cw_valid[k]:
                     rows_by_read.setdefault(int(cw_read[k]), []).append(k)
 
-            # window selection + stitch-job construction per read
+            # window selection pre-pass: find chains exceeding the eager
+            # transfer cap and fetch them all in one gather roundtrip
+            selections = {}
+            lazy = []
+            ncap = out["chain_ql"].shape[1]
+            for j in range(len(idxs)):
+                is_fine, selected = self._select_rows(j, out, rows_by_read)
+                selections[j] = (is_fine, selected)
+                for k in selected:
+                    n = int(out["chain_len"][k])
+                    if n > ncap:
+                        lazy.append((k, n))
+            wide = None
+            if lazy:
+                with self.metrics.timer("device"):
+                    wide = self._fetch_wide_rows(
+                        chains_dev, [k for k, _ in lazy],
+                        max(n for _, n in lazy),
+                    )
+
+            # stitch-job construction per read
             jobs = []
             read_jobs = {}  # batch row -> (is_fine, [job ids or None])
             for j, i in enumerate(idxs):
                 read = batch[j]
                 read_len = len(read.seq)
-                is_fine, selected = self._select_rows(j, out, rows_by_read)
+                is_fine, selected = selections[j]
                 slots = []
                 fwd = rev = None
                 for k in selected:
@@ -495,7 +559,8 @@ class MappingEngine:
                         fwd = seq_to_codes(read.seq)
                         rev = revcomp_codes(fwd)
                     is_rev = bool(out["cw_is_rev"][k])
-                    cq, ct, cl = self._chain_rows(out, chains_dev, k, n)
+                    cq, ct, cl = self._chain_rows(out, chains_dev, k, n,
+                                                  wide)
                     chr_beg, chr_end = self.idx.chr_boundaries(
                         int(ct[0]), int(ct[n - 1])
                     )
