@@ -107,8 +107,12 @@ class LordfastConfig:
     # query len (mult of 32), padded target len ((Q+T) mult of 16), gaps
     # per kernel invocation.  A gap uses the first bucket with
     # q_len <= Q and t_len <= T; bigger gaps run on the host (rare).
-    gap_buckets: tuple = ((128, 160, 1024), (512, 576, 256),
-                          (2048, 2176, 64))
+    # tuned to the PacBio-CLR gap-size distribution (sampling_count=1000
+    # seeds give dense anchors, so most inter-seed gaps are <=64 bp; the
+    # tail buckets catch end extensions and sparse-chain windows)
+    gap_buckets: tuple = ((32, 48, 4096), (64, 96, 2048),
+                          (128, 160, 1024), (256, 320, 512),
+                          (512, 576, 256), (2048, 2176, 64))
 
     # ---- runtime ----
     num_threads: int = 0            # host worker threads (0 = auto)

@@ -255,6 +255,9 @@ class MappingEngine:
         for job_id, job in enumerate(jobs):
             for d in job["descs"]:
                 q_len, t_len = d[3], d[6]
+                if self.cfg.verbosity >= 2:
+                    m = max(q_len, t_len)
+                    self.metrics.add(f"gsz_{1 << max(m - 1, 0).bit_length()}")
                 for bi, (Q, T, _) in enumerate(buckets):
                     if q_len <= Q and t_len <= T:
                         per_bucket[bi].append((job_id, d))
@@ -286,6 +289,7 @@ class MappingEngine:
         # the roundtrip latency (not bandwidth) dominates on remote or
         # tunneled TPU backends.
         pending = []  # (part, GapResult)
+        t_pack = time.time()
         for bi, items in enumerate(per_bucket):
             if not items:
                 continue
@@ -321,12 +325,17 @@ class MappingEngine:
                 )
                 pending.append((part, res))
 
+        self.metrics.timers["gap_pack"] += time.time() - t_pack
+
         if pending:
             import jax
 
+            t_wait = time.time()
             fetched = jax.device_get([
                 (r.dist, r.end, r.moves_packed, r.mlen) for _, r in pending
             ])
+            self.metrics.timers["gap_wait"] += time.time() - t_wait
+            t_unpack = time.time()
             for (part, _), (dist, end, packed, mlen) in zip(pending,
                                                             fetched):
                 g = len(part)
@@ -339,6 +348,7 @@ class MappingEngine:
                     t["end"][slot] = end[gi]
                     t["len"][slot] = mlen[gi]
                     t["mv"][slot] = moves[gi]
+            self.metrics.timers["gap_unpack"] += time.time() - t_unpack
 
         # concatenate per-job move buffers with offsets
         out = {}

@@ -70,6 +70,8 @@ class Metrics:
             f"fine {c['fine_reads']} chains {c['chained_windows']} | "
             f"splits {c['splits']} inversions {c['inversions']} | "
             f"device {t['device']:.2f}s gap_dp {t['gap_dp']:.2f}s "
+            f"(pack {t['gap_pack']:.2f} wait {t['gap_wait']:.2f} "
+            f"unpack {t['gap_unpack']:.2f}) "
             f"stitch {t['stitch']:.2f}s emit {t['emit']:.2f}s"
         )
 
