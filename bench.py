@@ -33,23 +33,66 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-REF_READS_PER_SEC = 186.9  # reference lordfast, 1 thread, this dataset
+# reference lordfast on THIS dataset (v2: repeats + SV reads), 1 thread,
+# re-measured live whenever .refbuild/lordfast exists
+REF_READS_PER_SEC = 161.5
 CACHE_DIR = Path(__file__).parent / ".bench_cache_big"
 REF_BIN = Path(__file__).parent / ".refbuild" / "lordfast"
 GENOME_BP = 28_000_000
 N_READS = 512
+N_SV = 40        # structured-variant reads appended (splits/inversions/clips)
+N_GARBAGE = 8    # unmappable reads
 SEED = 1234
+DATASET_TAG = "v2"  # bump when generation changes (invalidate caches)
+
+
+def _noise(rng, frag: str) -> str:
+    out = []
+    for ch in frag:
+        r = rng.random()
+        if r < 0.04:
+            out.append("ACGT"[rng.integers(0, 4)])
+        elif r < 0.09:
+            out.append(ch)
+            out.append("ACGT"[rng.integers(0, 4)])
+        elif r < 0.12:
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def gen_dataset(dirpath: Path):
+    """28 Mb genome with implanted repeat families (fine-mode pressure) +
+    512 CLR-like reads + SV/clip/garbage reads exercising the split /
+    inversion / clip escalations (reference src/LordFAST.cpp:1952,2040,
+    1848) — so the timed run covers the whole pipeline, not just the
+    coarse single-candidate path (VERDICT r2 weak #3)."""
     rng = np.random.default_rng(SEED)
     codes = rng.integers(0, 4, GENOME_BP)
+    # repeat families: 120 source blocks of 2 kb, each copied to 2-4 more
+    # loci at ~92% identity -> ~1 Mb of repetitive sequence that splits
+    # window votes and drives reads into fine mode
+    for _ in range(120):
+        src = int(rng.integers(0, GENOME_BP - 2000))
+        block = codes[src : src + 2000].copy()
+        for _ in range(int(rng.integers(2, 5))):
+            mut = block.copy()
+            nmut = int(0.08 * len(mut))
+            sites = rng.integers(0, len(mut), nmut)
+            mut[sites] = rng.integers(0, 4, nmut)
+            dst = int(rng.integers(0, GENOME_BP - 2000))
+            codes[dst : dst + 2000] = mut
     seq = "".join("ACGT"[c] for c in codes)
     with open(dirpath / "bench_ref.fa", "w") as f:
         f.write(">benchchr\n")
         for i in range(0, len(seq), 70):
             f.write(seq[i : i + 70] + "\n")
     comp = str.maketrans("ACGT", "TGCA")
+
+    def rand_seq(n):
+        return "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+
     with open(dirpath / "bench_reads.fq", "w") as f:
         for i in range(N_READS):
             ln = int(rng.integers(2000, 20000))
@@ -57,20 +100,33 @@ def gen_dataset(dirpath: Path):
             frag = seq[st : st + ln]
             if rng.random() < 0.5:
                 frag = frag.translate(comp)[::-1]
-            out = []
-            for ch in frag:
-                r = rng.random()
-                if r < 0.04:
-                    out.append("ACGT"[rng.integers(0, 4)])
-                elif r < 0.09:
-                    out.append(ch)
-                    out.append("ACGT"[rng.integers(0, 4)])
-                elif r < 0.12:
-                    continue
-                else:
-                    out.append(ch)
-            read = "".join(out)
+            read = _noise(rng, frag)
             f.write(f"@b{i}\n{read}\n+\n{'I' * len(read)}\n")
+        # structured reads: deletion / jump (split), inversion, clips
+        for i in range(N_SV):
+            kind = i % 5
+            a = int(rng.integers(0, GENOME_BP - 40000))
+            if kind == 0:      # ~2.5 kb deletion -> split
+                frag = seq[a : a + 2000] + seq[a + 4500 : a + 6500]
+            elif kind == 1:    # long intra-genome jump -> split
+                b = int(rng.integers(0, GENOME_BP - 3000))
+                frag = seq[a : a + 2000] + seq[b : b + 2000]
+            elif kind == 2:    # inverted middle segment -> inversion branch
+                frag = (seq[a : a + 1500]
+                        + seq[a + 1500 : a + 3000].translate(comp)[::-1]
+                        + seq[a + 3450 : a + 4950])
+                f.write(f"@sv{i}\n{frag}\n+\n{'I' * len(frag)}\n")
+                continue       # noiseless (inversion branch needs sim_r)
+            elif kind == 3:    # >500 bp junk left end -> clip escalation
+                frag = rand_seq(800) + seq[a : a + 2500]
+            else:              # junk right end
+                frag = seq[a : a + 2500] + rand_seq(800)
+            read = _noise(rng, frag)
+            f.write(f"@sv{i}\n{read}\n+\n{'I' * len(read)}\n")
+        for i in range(N_GARBAGE):
+            r = rand_seq(int(rng.integers(1200, 2500)))
+            f.write(f"@junk{i}\n{r}\n+\n{'I' * len(r)}\n")
+    (dirpath / "DATASET_TAG").write_text(DATASET_TAG)
 
 
 def measure_reference(ref_fa: Path, reads_fq: Path) -> float | None:
@@ -97,24 +153,38 @@ def measure_reference(ref_fa: Path, reads_fq: Path) -> float | None:
 
 
 def dp_microbench():
-    """DP-extend cell-updates/s of the batched Myers kernel (north star)."""
+    """DP-extend cell-updates/s of the batched Myers kernel (north star).
+    Uses the Pallas kernel on TPU (the engine's hot path), the jnp kernel
+    elsewhere."""
     import jax
 
-    from lordfast_tpu.ops import gap_dp
+    from lordfast_tpu.ops import gap_dp, gap_dp_pallas
 
     Q, T, G = 512, 576, 256
+    use_pl = jax.default_backend() == "tpu"
     rng = np.random.default_rng(7)
-    qs = rng.integers(0, 4, (G, Q)).astype(np.uint8)
-    ts = rng.integers(0, 4, (G, T)).astype(np.uint8)
-    ql = np.full(G, Q, np.int32)
-    tl = np.full(G, T, np.int32)
-    shw = np.zeros(G, bool)
-    r = gap_dp.gap_align(qs, ql, ts, tl, shw, Q, T)  # compile + warm
+    import jax.numpy as jnp
+
+    # device-resident inputs: the metric is kernel cell-updates/s, not the
+    # host<->device tunnel (the engine ships only descriptor tables; reads
+    # and genome are already device-resident)
+    qs = jnp.asarray(rng.integers(0, 4, (G, Q)).astype(np.uint8))
+    ts = jnp.asarray(rng.integers(0, 4, (G, T)).astype(np.uint8))
+    ql = jnp.asarray(np.full(G, Q, np.int32))
+    tl = jnp.asarray(np.full(G, T, np.int32))
+    shw = jnp.asarray(np.zeros(G, bool))
+
+    def run():
+        if use_pl:
+            return gap_dp_pallas.gap_align_pl(qs, ql, ts, tl, shw, Q, T)
+        return gap_dp.gap_align(qs, ql, ts, tl, shw, Q, T)
+
+    r = run()  # compile + warm
     jax.block_until_ready(r.dist)
     t0 = time.time()
-    reps = 4
+    reps = 20 if use_pl else 4
     for _ in range(reps):
-        r = gap_dp.gap_align(qs, ql, ts, tl, shw, Q, T)
+        r = run()
     jax.block_until_ready(r.dist)
     dt = (time.time() - t0) / reps
     cells = G * Q * T
@@ -130,8 +200,13 @@ def main():
     CACHE_DIR.mkdir(exist_ok=True)
     ref = CACHE_DIR / "bench_ref.fa"
     reads = CACHE_DIR / "bench_reads.fq"
-    if not ref.exists() or not reads.exists():
+    tag = CACHE_DIR / "DATASET_TAG"
+    stale = (not ref.exists() or not reads.exists()
+             or not tag.exists() or tag.read_text() != DATASET_TAG)
+    if stale:
         print("[bench] generating dataset...", file=sys.stderr)
+        for f in CACHE_DIR.iterdir():  # drop stale index/ref artifacts too
+            f.unlink()
         gen_dataset(CACHE_DIR)
 
     cfg = LordfastConfig()

@@ -236,32 +236,11 @@ def gap_align(qs, ql, ts, tl, is_shw, Q: int, T: int) -> GapResult:
     return GapResult(dist=dist, end=end, moves_packed=packed, mlen=mlen)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def gap_align_from_desc(pac_words, reads, desc, Q: int, T: int,
-                        l_pac: int) -> GapResult:
-    """Gather gap sequences on device from the resident read batch and the
-    packed genome, then run the batched Myers alignment.
-
-    The host never uploads sequence data for gaps — only the descriptor
-    table (a few int32/int64 per gap); reads were already shipped for
-    seeding and the genome lives on device (index/container.py pac_words).
-
-    desc: dict of (G,) arrays —
-      q_read  int32   row into ``reads``
-      q_start int32   query slice start (pre-reversal coordinates)
-      q_len   int32   query length (>= 1 for valid gaps)
-      q_rc    bool    reverse-complement the query slice
-      t_start int64   global target start (pre-reversal coordinates)
-      t_len   int32   target length (>= 1)
-      t_rc    bool    reverse-complement the target slice
-      is_shw  bool    prefix mode
-      valid   bool    inactive rows are aligned as (1,1) dummies
-
-    Semantics of the gathers match the host stitcher exactly: query codes
-    come from the strand-oriented read row; target codes from the forward
-    genome with out-of-range positions reading 0 ('A')
-    (index/container.py get_ref_codes padding), reverse-complement applied
-    after slicing (chain_align.py _rc)."""
+def gather_gap_seqs(pac_words, reads, desc, Q: int, T: int, l_pac: int):
+    """Device gather of the (qs, ql, ts, tl) padded code tensors for a gap
+    descriptor table — shared by the jnp kernel (gap_align) and the Pallas
+    kernel (ops/gap_dp_pallas.py).  See gap_align_from_desc for the
+    descriptor semantics."""
     G = desc["q_read"].shape[0]
     ql = jnp.maximum(jnp.where(desc["valid"], desc["q_len"], 1), 1)
     tl = jnp.maximum(jnp.where(desc["valid"], desc["t_len"], 1), 1)
@@ -292,7 +271,36 @@ def gap_align_from_desc(pac_words, reads, desc, Q: int, T: int,
     tg = jnp.where(t_in, tg, 0)          # pad 0 like get_ref_codes
     tg = jnp.where(desc["t_rc"][:, None], 3 - tg, tg)
     ts = jnp.where(j_t < tl[:, None], tg, 0).astype(jnp.uint8)
+    return qs, ql.astype(jnp.int32), ts, tl.astype(jnp.int32)
 
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def gap_align_from_desc(pac_words, reads, desc, Q: int, T: int,
+                        l_pac: int) -> GapResult:
+    """Gather gap sequences on device from the resident read batch and the
+    packed genome, then run the batched Myers alignment.
+
+    The host never uploads sequence data for gaps — only the descriptor
+    table (a few int32/int64 per gap); reads were already shipped for
+    seeding and the genome lives on device (index/container.py pac_words).
+
+    desc: dict of (G,) arrays —
+      q_read  int32   row into ``reads``
+      q_start int32   query slice start (pre-reversal coordinates)
+      q_len   int32   query length (>= 1 for valid gaps)
+      q_rc    bool    reverse-complement the query slice
+      t_start int64   global target start (pre-reversal coordinates)
+      t_len   int32   target length (>= 1)
+      t_rc    bool    reverse-complement the target slice
+      is_shw  bool    prefix mode
+      valid   bool    inactive rows are aligned as (1,1) dummies
+
+    Semantics of the gathers match the host stitcher exactly: query codes
+    come from the strand-oriented read row; target codes from the forward
+    genome with out-of-range positions reading 0 ('A')
+    (index/container.py get_ref_codes padding), reverse-complement applied
+    after slicing (chain_align.py _rc)."""
+    qs, ql, ts, tl = gather_gap_seqs(pac_words, reads, desc, Q, T, l_pac)
     return gap_align(qs, ql, ts, tl, desc["is_shw"], Q, T)
 
 

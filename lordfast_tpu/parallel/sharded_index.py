@@ -42,15 +42,21 @@ _SHARDED_KEYS = ("fm_blocks", "occ_cp", "bwt_blocks", "bwt_words",
                  "sa_samp")
 
 
-def shard_index_arrays(idx, mesh: Mesh, axis: str = "data"):
+def shard_index_arrays(idx, mesh: Mesh, axis: str = "data",
+                       specs_only: bool = False):
     """Device placement for sharded-index mode.
 
     Returns (arrs, specs): the device array dict (same keys the kernels
     use) and a matching dict of PartitionSpecs.  Large arrays are padded
     to a row multiple of the mesh size and placed P(axis); the rest P().
+    specs_only: skip the device_put, return (None, specs).
     """
     D = mesh.shape[axis]
     host = idx.host_arrays()
+    if specs_only:
+        specs = {k: (P(axis) if k in _SHARDED_KEYS else P())
+                 for k in host}
+        return None, specs
     repl = NamedSharding(mesh, P())
     row = NamedSharding(mesh, P(axis))
     arrs, specs = {}, {}
@@ -70,7 +76,8 @@ def shard_index_arrays(idx, mesh: Mesh, axis: str = "data"):
     return arrs, specs
 
 
-def sharded_index_pipeline(idx, cfg, mesh: Mesh, axis: str = "data"):
+def sharded_index_pipeline(idx, cfg, mesh: Mesh, axis: str = "data",
+                           arrs=None):
     """The full device stage with the index sharded over ``axis``.
 
     Seeding runs under shard_map with interval-routed rank/locate
@@ -79,10 +86,16 @@ def sharded_index_pipeline(idx, cfg, mesh: Mesh, axis: str = "data"):
     (fn, arrs) where fn(arrs, reads, lens, pos) ->
     (seeds, chains, host_out) matches the replicated pipeline
     bit-for-bit.
-    """
+
+    arrs: already-sharded index arrays from a previous call — reuse them
+    instead of device_put-ting a second HBM copy (engine overflow-retry
+    pipeline)."""
     meta_t = tuple(sorted((k, v) for k, v in idx.meta.items()
                           if k != "pos_dtype"))
-    arrs, specs = shard_index_arrays(idx, mesh, axis)
+    if arrs is None:
+        arrs, specs = shard_index_arrays(idx, mesh, axis)
+    else:
+        _, specs = shard_index_arrays(idx, mesh, axis, specs_only=True)
     shard0 = NamedSharding(mesh, P(axis))
 
     def seed_local(a, reads, lens, pos):

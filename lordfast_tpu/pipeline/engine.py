@@ -28,6 +28,7 @@ from ..io.fastx import Read, read_chunks
 from ..ops import chain as chain_ops
 from ..ops import fm_index as fm_ops
 from ..ops import gap_dp
+from ..ops import gap_dp_pallas
 from ..ops import voting as vote_ops
 from ..utils.checkpoint import ChunkProgress
 from ..utils.metrics import Metrics
@@ -67,6 +68,14 @@ class MappingEngine:
         # threads scale across host cores; 0 = one per core.
         import os
 
+        # gap-DP kernel dispatch: the Pallas Myers kernel on TPU (for the
+        # buckets it supports), the jnp kernel elsewhere (CPU backend =
+        # tests/golden; also the oracle for the Pallas path)
+        import jax
+
+        self._gap_pallas = jax.default_backend() == "tpu"
+        self._gap_shapes_seen = set()
+
         n_workers = self.cfg.num_threads or (os.cpu_count() or 1)
         if n_workers > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -82,6 +91,7 @@ class MappingEngine:
         fn = device_pipeline(self.meta, self.cfg)
         if shard_index and mesh is None:
             raise ValueError("shard_index requires a mesh")
+        self._shard_index = shard_index
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -106,6 +116,11 @@ class MappingEngine:
             self._shard0 = None
             self.arrs = idx.device_arrays()
             self._device_fn = jax.jit(fn)
+        # lazily-built wide-budget pipeline for the compact-overflow retry
+        # (fine-mode reads whose windows ran out of K slots; see
+        # _select_rows / VERDICT r2 weak #5 — the reference chains every
+        # qualifying local max, src/LordFAST.cpp:874-904)
+        self._big_fn = None
 
     def _put_reads(self, arr: np.ndarray):
         import jax
@@ -115,14 +130,45 @@ class MappingEngine:
         return jax.device_put(arr)
 
     # ---- device stage ----
-    def _device_stage(self, reads_arr, lens: np.ndarray):
+    def _device_stage(self, reads_arr, lens: np.ndarray, big: bool = False):
         import jax
 
         pos = fm_ops.sample_positions_host(lens, self.cfg.sampling_count)
         if self._shard0 is not None:
             lens = jax.device_put(np.asarray(lens), self._shard0)
             pos = jax.device_put(np.asarray(pos), self._shard0)
-        return self._device_fn(self.arrs, reads_arr, lens, pos)
+        fn = self._get_big_fn() if big else self._device_fn
+        return fn(self.arrs, reads_arr, lens, pos)
+
+    def _get_big_fn(self):
+        """Device pipeline with 8x the candidate/compact-window budget,
+        compiled on first overflow (rare: repeat-dense reads only)."""
+        if self._big_fn is None:
+            import jax
+
+            from ..parallel.mesh import device_pipeline
+
+            cfg_big = self.cfg.replace(
+                max_candidates=min(4 * self.cfg.max_candidates, 256),
+                compact_windows_per_read=8
+                * self.cfg.compact_windows_per_read,
+            )
+            if self._shard_index:
+                from ..parallel.sharded_index import sharded_index_pipeline
+
+                self._big_fn, _ = sharded_index_pipeline(
+                    self.idx, cfg_big, self.mesh, arrs=self.arrs
+                )
+            else:
+                fn = device_pipeline(self.meta, cfg_big)
+                if self.mesh is not None:
+                    self._big_fn = jax.jit(
+                        fn, in_shardings=(None, self._shard0, self._shard0,
+                                          self._shard0),
+                    )
+                else:
+                    self._big_fn = jax.jit(fn)
+        return self._big_fn
 
     # ---- per-read host resolution ----
     def _chain_rows(self, out, chains_dev, k: int, n: int, wide=None):
@@ -177,16 +223,18 @@ class MappingEngine:
     def _select_rows(self, b: int, out, rows_by_read):
         """Window selection per read: coarse mode stitches the single
         top-vote window; fine mode the top max_map by chain score
-        (src/LordFAST.cpp:542-569, 819-904)."""
+        (src/LordFAST.cpp:542-569, 819-904).
+
+        Returns (is_fine, selected_rows, overflowed): overflowed = the
+        read had valid candidates but no compact-window slots (K budget
+        exhausted) — the caller retries it through the 8x-budget pipeline
+        rather than silently emitting it unmapped."""
         cfg = self.cfg
         if not out["cand_valid0"][b]:
-            return False, []
+            return False, [], False
         rows = rows_by_read.get(b, [])
         if not rows:
-            self.stats["compact_overflow"] = (
-                self.stats.get("compact_overflow", 0) + 1
-            )
-            return False, []
+            return False, [], True
         is_fine = bool(out["is_fine"][b])
         if not is_fine:
             selected = [k for k in rows if out["cw_cand_idx"][k] == 0][:1]
@@ -197,7 +245,7 @@ class MappingEngine:
                                int(out["cw_cand_idx"][k])),
             )
             selected = rows[: cfg.max_map]
-        return is_fine, selected
+        return is_fine, selected, False
 
     def _gap_descriptors(self, j, read_len, is_rev, cq, ct, cl,
                          chr_beg, chr_end):
@@ -252,18 +300,23 @@ class MappingEngine:
         buckets = cfg.gap_buckets
         per_bucket = [[] for _ in buckets]
         n_host = 0
+        want_hist = cfg.verbosity >= 2  # hoisted out of the hot loop
+        gsz_hist = {}
         for job_id, job in enumerate(jobs):
             for d in job["descs"]:
                 q_len, t_len = d[3], d[6]
-                if self.cfg.verbosity >= 2:
-                    m = max(q_len, t_len)
-                    self.metrics.add(f"gsz_{1 << max(m - 1, 0).bit_length()}")
+                if want_hist:
+                    m = 1 << max(max(q_len, t_len) - 1, 0).bit_length()
+                    gsz_hist[m] = gsz_hist.get(m, 0) + 1
                 for bi, (Q, T, _) in enumerate(buckets):
                     if q_len <= Q and t_len <= T:
                         per_bucket[bi].append((job_id, d))
                         break
                 else:
                     n_host += 1
+        if want_hist:
+            for m, cnt in gsz_hist.items():
+                self.metrics.add(f"gsz_{m}", cnt)
         if n_host:
             self.metrics.add("gaps_host", n_host)
 
@@ -295,6 +348,10 @@ class MappingEngine:
                 continue
             Q, T, G = buckets[bi]
             self.metrics.add(f"gaps_b{Q}", len(items))
+            # a new (gap bucket x read-length bucket) shape pays its JIT
+            # trace+compile synchronously on first dispatch; book that
+            # under gap_compile, not gap_pack (steady-state metric)
+            shape_key = (Q, T, tuple(reads_dev.shape))
             for s in range(0, len(items), G):
                 part = items[s : s + G]
                 desc = {
@@ -319,10 +376,22 @@ class MappingEngine:
                     desc["t_rc"][gi] = trc
                     desc["is_shw"][gi] = shw
                     desc["valid"][gi] = True
-                res = gap_dp.gap_align_from_desc(
-                    self.arrs["pac_words"], reads_dev, desc, Q, T,
-                    self.meta["l_pac"],
-                )
+                t_d = time.time()
+                if self._gap_pallas and Q <= gap_dp_pallas.MAX_PALLAS_Q:
+                    res = gap_dp_pallas.gap_align_from_desc_pl(
+                        self.arrs["pac_words"], reads_dev, desc, Q, T,
+                        self.meta["l_pac"],
+                    )
+                else:
+                    res = gap_dp.gap_align_from_desc(
+                        self.arrs["pac_words"], reads_dev, desc, Q, T,
+                        self.meta["l_pac"],
+                    )
+                if shape_key not in self._gap_shapes_seen:
+                    self._gap_shapes_seen.add(shape_key)
+                    dt = time.time() - t_d
+                    self.metrics.timers["gap_compile"] += dt
+                    t_pack += dt  # exclude compile from gap_pack
                 pending.append((part, res))
 
         self.metrics.timers["gap_pack"] += time.time() - t_pack
@@ -331,22 +400,26 @@ class MappingEngine:
             import jax
 
             t_wait = time.time()
-            fetched = jax.device_get([
-                (r.dist, r.end, r.moves_packed, r.mlen) for _, r in pending
-            ])
+            fetched = jax.device_get([tuple(r) for _, r in pending])
             self.metrics.timers["gap_wait"] += time.time() - t_wait
             t_unpack = time.time()
-            for (part, _), (dist, end, packed, mlen) in zip(pending,
-                                                            fetched):
+            for (part, r), vals in zip(pending, fetched):
                 g = len(part)
-                moves = gap_dp.unpack_moves(packed[:g], mlen[:g])
+                if isinstance(r, gap_dp_pallas.GapColsResult):
+                    dist, end, lead, colcode = vals
+                    moves = gap_dp_pallas.decode_col_moves(
+                        colcode[:g], end[:g], lead[:g]
+                    )
+                else:
+                    dist, end, packed, _mlen = vals
+                    moves = gap_dp.unpack_moves(packed[:g], _mlen[:g])
                 for gi, (job_id, d) in enumerate(part):
                     slot = d[0]
                     t = table_for(job_id)
                     t["has"][slot] = 1
                     t["dist"][slot] = dist[gi]
                     t["end"][slot] = end[gi]
-                    t["len"][slot] = mlen[gi]
+                    t["len"][slot] = len(moves[gi])
                     t["mv"][slot] = moves[gi]
             self.metrics.timers["gap_unpack"] += time.time() - t_unpack
 
@@ -513,9 +586,18 @@ class MappingEngine:
             # stage and the gap-DP gathers (no second upload)
             reads_dev = self._put_reads(arr)
             _, chains_dev, host_out = self._device_stage(reads_dev, lens)
-            return idxs, batch, reads_dev, (chains_dev, host_out)
+            return idxs, batch, reads_dev, lens, (chains_dev, host_out)
 
-        def resolve(idxs, batch, reads_dev, dev):
+        def _rows_by_read(out):
+            rows = {}
+            cw_valid = out["cw_valid"]
+            cw_read = out["cw_read_idx"]
+            for k in range(len(cw_valid)):
+                if cw_valid[k]:
+                    rows.setdefault(int(cw_read[k]), []).append(k)
+            return rows
+
+        def resolve(idxs, batch, reads_dev, lens, dev):
             # one device->host transfer per batch, trimmed on device
             # (seeds and full chains stay on device)
             chains_dev, host_out = dev
@@ -524,21 +606,52 @@ class MappingEngine:
             for name in ("seeds", "candidates", "fine_reads",
                          "chained_windows"):
                 self.metrics.add(name, int(out[f"stat_{name}"]))
-            rows_by_read = {}
-            cw_valid = out["cw_valid"]
-            cw_read = out["cw_read_idx"]
-            for k in range(len(cw_valid)):
-                if cw_valid[k]:
-                    rows_by_read.setdefault(int(cw_read[k]), []).append(k)
+            rows_by_read = _rows_by_read(out)
 
             # window selection pre-pass: find chains exceeding the eager
             # transfer cap and fetch them all in one gather roundtrip
             selections = {}
+            overflow = []
+            for j in range(len(idxs)):
+                is_fine, selected, over = self._select_rows(
+                    j, out, rows_by_read
+                )
+                selections[j] = (is_fine, selected, 0)
+                if over:
+                    overflow.append(j)
+
+            # per-read device context: 0 = normal run, 1 = 8x-budget
+            # retry for reads whose windows overflowed the K compact slots
+            ctxs = [(out, chains_dev)]
+            if overflow:
+                self.metrics.add("compact_retry", len(overflow))
+                with self.metrics.timer("device"):
+                    _, chains2, host_out2 = self._device_stage(
+                        reads_dev, lens, big=True
+                    )
+                    out2 = jax.device_get(host_out2)
+                rows2 = _rows_by_read(out2)
+                ctxs.append((out2, chains2))
+                for j in overflow:
+                    is_fine, selected, over2 = self._select_rows(
+                        j, out2, rows2
+                    )
+                    selections[j] = (is_fine, selected, 1)
+                    if over2:  # still no slots: give up (counted)
+                        self.stats["compact_overflow"] = (
+                            self.stats.get("compact_overflow", 0) + 1
+                        )
+                        self.metrics.log(
+                            1, "[WARNING] read slot overflow after 8x "
+                               "retry; emitted unmapped",
+                        )
+
             lazy = []
             ncap = out["chain_ql"].shape[1]
             for j in range(len(idxs)):
-                is_fine, selected = self._select_rows(j, out, rows_by_read)
-                selections[j] = (is_fine, selected)
+                is_fine, selected, ci = selections[j]
+                if ci != 0:
+                    continue  # retry rows fetch directly (rare)
                 for k in selected:
                     n = int(out["chain_len"][k])
                     if n > ncap:
@@ -557,20 +670,22 @@ class MappingEngine:
             for j, i in enumerate(idxs):
                 read = batch[j]
                 read_len = len(read.seq)
-                is_fine, selected = selections[j]
+                is_fine, selected, ci = selections[j]
+                out_j, chains_j = ctxs[ci]
+                wide_j = wide if ci == 0 else None
                 slots = []
                 fwd = rev = None
                 for k in selected:
-                    n = int(out["chain_len"][k])
+                    n = int(out_j["chain_len"][k])
                     if n <= 1:
                         slots.append(None)  # unmapped placeholder
                         continue
                     if fwd is None:
                         fwd = seq_to_codes(read.seq)
                         rev = revcomp_codes(fwd)
-                    is_rev = bool(out["cw_is_rev"][k])
-                    cq, ct, cl = self._chain_rows(out, chains_dev, k, n,
-                                                  wide)
+                    is_rev = bool(out_j["cw_is_rev"][k])
+                    cq, ct, cl = self._chain_rows(out_j, chains_j, k, n,
+                                                  wide_j)
                     chr_beg, chr_end = self.idx.chr_boundaries(
                         int(ct[0]), int(ct[n - 1])
                     )
