@@ -416,7 +416,7 @@ class _StitchRecordC(__import__("ctypes").Structure):
 
 def align_chain_native(
     chain_q, chain_t, chain_l, query, read_len, is_rev, idx, cfg,
-    gap_table=None,
+    gap_table=None, esc_table=None,
 ) -> Mapping | None:
     """Native (C++) stitcher: one call per window (native/stitch.cpp).
     Returns None if the native library is unavailable (caller falls back
@@ -425,7 +425,14 @@ def align_chain_native(
     gap_table: optional (has, dist, end, moves, off, mlen) arrays from the
     device batched Myers kernel (pipeline/engine.py _precompute_gaps) —
     slot 0 = left end, i+1 = gap i, n = right end; the native stitcher
-    skips its local DP for precomputed slots."""
+    skips its local DP for precomputed slots.
+
+    esc_table: optional (has, a, b, moves, off) arrays for the clip/split
+    escalation DPs (engine _escalation_pass), 6 sub-slots per gap slot:
+    ksw fwd (a=qle, b=tle), ksw rc, NW part1/clip-trim (a=dist, b=mlen,
+    moves), NW inversion fwd (dist only), NW inversion rc, NW part2.  Any
+    missing sub-slot is computed locally — precomputed values are exact,
+    so partial coverage changes nothing."""
     import ctypes
 
     from ..native import _load
@@ -476,6 +483,21 @@ def align_chain_native(
         )
     else:
         pre_args = (None, None, None, None, None, None)
+    if esc_table is not None:
+        e_has, e_a, e_b, e_moves, e_off = (
+            np.ascontiguousarray(esc_table[0], dtype=np.uint8),
+            np.ascontiguousarray(esc_table[1], dtype=np.int64),
+            np.ascontiguousarray(esc_table[2], dtype=np.int64),
+            np.ascontiguousarray(esc_table[3], dtype=np.uint8),
+            np.ascontiguousarray(esc_table[4], dtype=np.int64),
+        )
+        esc_args = (
+            e_has.ctypes.data_as(u8p), e_a.ctypes.data_as(i64p),
+            e_b.ctypes.data_as(i64p), e_moves.ctypes.data_as(u8p),
+            e_off.ctypes.data_as(i64p),
+        )
+    else:
+        esc_args = (None, None, None, None, None)
     nrec = lib.stitch_chain(
         cq.ctypes.data_as(i64p), ct.ctypes.data_as(i64p),
         cl.ctypes.data_as(i64p), n,
@@ -493,7 +515,7 @@ def align_chain_native(
         ctypes.cast(recs, ctypes.c_void_p), max_recs,
         strbuf, strcap,
         ctypes.byref(total),
-        *pre_args,
+        *pre_args, *esc_args,
     )
     if nrec < 0:
         return None  # buffers too small; fall back to Python path
@@ -514,13 +536,14 @@ def align_chain_native(
 
 
 def align_and_score(chain_q, chain_t, chain_l, query, read_len, is_rev,
-                    idx, cfg, gap_table=None) -> Mapping:
+                    idx, cfg, gap_table=None, esc_table=None) -> Mapping:
     """Stitch + score one window: native fast path with Python fallback.
-    gap_table: precomputed device gap-DP results (see align_chain_native);
-    the Python fallback recomputes locally (same results, slower)."""
+    gap_table / esc_table: precomputed device DP results (see
+    align_chain_native); the Python fallback recomputes locally (same
+    results, slower)."""
     m = align_chain_native(
         chain_q, chain_t, chain_l, query, read_len, is_rev, idx, cfg,
-        gap_table=gap_table,
+        gap_table=gap_table, esc_table=esc_table,
     )
     if m is None:
         m = align_chain_edlib(

@@ -229,3 +229,94 @@ def build_ksw_matrix(match: int, mismatch: int) -> np.ndarray:
         mat[k] = 0
         k += 1
     return mat
+
+
+def ksw_global2(q, t, mat5, o_del, e_del, o_ins, e_ins, w):
+    """Banded global affine alignment with CIGAR, semantics of
+    ksw_global2 (/root/reference/lib/bwa/ksw.c:504-606) including the
+    direction-bit traceback convention (z cell = f<<4 | e<<2 | h; the
+    `which` state machine reads 2 bits selected by the previous move).
+    Returns (score, cigar) with cigar a list of (op, len), op in
+    'MID'.  Pure Python — used only by the dormant alignChain_ksw mode
+    (src/LordFAST.cpp:213 hardcodes alignChain_edlib)."""
+    q = _as_u8(q)
+    t = _as_u8(t)
+    mat = np.asarray(mat5, np.int64).reshape(5, 5)
+    qlen, tlen = len(q), len(t)
+    NEG = -0x40000000
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    n_col = min(qlen, 2 * w + 1)
+    z = np.zeros((max(tlen, 1), max(n_col, 1)), np.uint8)
+    H = np.full(qlen + 2, NEG, np.int64)
+    E = np.full(qlen + 2, NEG, np.int64)
+    H[0] = 0
+    for j in range(1, qlen + 1):
+        if j <= w:
+            H[j] = -(o_ins + e_ins * j)
+        else:
+            break
+    for i in range(tlen):
+        f = NEG
+        beg = i - w if i > w else 0
+        end = min(i + w + 1, qlen)
+        h1 = -(o_del + e_del * (i + 1)) if beg == 0 else NEG
+        qp = mat[t[i]]
+        for j in range(beg, end):
+            m = H[j]
+            e = E[j]
+            H[j] = h1
+            m += qp[q[j]]
+            d = 0 if m >= e else 1
+            h = m if m >= e else e
+            d = d if h >= f else 2
+            h = h if h >= f else f
+            h1 = h
+            tt = m - oe_del
+            e -= e_del
+            d |= (1 << 2) if e > tt else 0
+            e = e if e > tt else tt
+            E[j] = e
+            tt = m - oe_ins
+            f -= e_ins
+            d |= (2 << 4) if f > tt else 0
+            f = f if f > tt else tt
+            z[i, j - beg] = d
+        H[end] = h1
+        E[end] = NEG
+    score = int(H[qlen])
+    # backtrack
+    cigar = []  # list of [op, len], op 0=M 1=I 2=D (ksw codes)
+
+    def push(op, ln):
+        if cigar and cigar[-1][0] == op:
+            cigar[-1][1] += ln
+        else:
+            cigar.append([op, ln])
+
+    i = tlen - 1
+    k = min(i + w + 1, qlen) - 1
+    which = 0
+    while i >= 0 and k >= 0:
+        beg = i - w if i > w else 0
+        which = (z[i, k - beg] >> (which << 1)) & 3
+        if which == 0:
+            push(0, 1)
+            i -= 1
+            k -= 1
+        elif which == 1:
+            push(2, 1)
+            i -= 1
+        else:
+            push(1, 1)
+            k -= 1
+    if i >= 0:
+        push(2, i + 1)
+    if k >= 0:
+        push(1, k + 1)
+    cigar.reverse()
+    return score, [("MID"[op], ln) for op, ln in cigar]
+
+
+def ksw_global(q, t, mat5, gapo, gape, w):
+    """ksw_global thin wrapper (ksw.c:608-610)."""
+    return ksw_global2(q, t, mat5, gapo, gape, gapo, gape, w)

@@ -113,6 +113,12 @@ class LordfastConfig:
     gap_buckets: tuple = ((32, 48, 4096), (64, 96, 2048),
                           (128, 160, 1024), (256, 320, 512),
                           (512, 576, 256), (2048, 2176, 64))
+    # device affine-extension bucket shapes (ops/affine_pl.py):
+    # (Qe, Te, G) padded query/target lengths and problems per call for
+    # the clip/split escalation ksw_extend2 kernel; larger escalation
+    # sites run on the host inside the stitcher (rare monster clips)
+    affine_buckets: tuple = ((512, 544, 128), (2048, 2080, 128),
+                             (8192, 8224, 128))
 
     # ---- runtime ----
     num_threads: int = 0            # host worker threads (0 = auto)

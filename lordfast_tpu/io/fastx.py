@@ -51,12 +51,28 @@ def read_fastx(path) -> Iterator[Read]:
                     seq_parts.append(line.strip())
                     line = f.readline()
                 yield Read(name, b"".join(seq_parts), None)
-            elif line.startswith(b"@"):  # FASTQ record
+            elif line.startswith(b"@"):  # FASTQ record (kseq semantics:
+                # sequence and quality may wrap across lines,
+                # /root/reference/lib/bwa/kseq.h kseq_read — sequence runs
+                # until the '+' separator, quality until its length
+                # matches the sequence; CRLF tolerated via strip)
                 name = line[1:].split()[0].decode()
-                seq = f.readline().strip()
-                f.readline()  # '+'
-                qual = f.readline().strip()
-                yield Read(name, seq, qual)
+                seq_parts = []
+                line = f.readline()
+                while line and not line.startswith(b"+"):
+                    seq_parts.append(line.strip())
+                    line = f.readline()
+                seq = b"".join(seq_parts)
+                qual_parts = []
+                qlen = 0
+                while qlen < len(seq):
+                    line = f.readline()
+                    if not line:  # truncated final record: kseq returns
+                        break     # the read with partial quality
+                    part = line.strip()
+                    qual_parts.append(part)
+                    qlen += len(part)
+                yield Read(name, seq, b"".join(qual_parts))
                 line = f.readline()
             else:
                 raise ValueError(f"malformed FASTA/FASTQ near: {line[:40]!r}")

@@ -84,6 +84,7 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64,               # strbuf
             i64p,                                          # total_score
             u8p, i64p, i64p, u8p, i64p, i64p,              # gap table
+            u8p, i64p, i64p, u8p, i64p,                    # escalation table
         ]
         _lib = lib
     except Exception:

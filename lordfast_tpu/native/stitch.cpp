@@ -205,8 +205,20 @@ int32_t stitch_chain(
     int64_t* total_score_out,
     const uint8_t* pre_has, const int64_t* pre_dist, const int64_t* pre_end,
     const uint8_t* pre_moves, const int64_t* pre_off,
-    const int64_t* pre_len) {
+    const int64_t* pre_len,
+    // escalation precompute (engine _escalation_pass): 6 sub-slots per
+    // gap slot — [0]=ksw fwd (a=qle,b=tle), [1]=ksw rc, [2]=NW part1 /
+    // clip-trim (a=dist,b=mlen,+moves), [3]=NW inversion fwd (a=dist),
+    // [4]=NW inversion rc (+moves), [5]=NW part2 (+moves).  Missing
+    // sub-slots are computed locally (precomputed values are exact, so
+    // partial coverage is safe).  esc_has = NULL disables.
+    const uint8_t* esc_has, const int64_t* esc_a, const int64_t* esc_b,
+    const uint8_t* esc_moves, const int64_t* esc_off) {
   Ctx ctx{ref_slice, ref_off, ref_slice_len, {}};
+  auto eidx = [&](int32_t slot, int32_t sub) { return slot * 6 + sub; };
+  auto esc_ok = [&](int32_t slot, int32_t sub) -> bool {
+    return esc_has && esc_has[eidx(slot, sub)];
+  };
   std::deque<char> cig, md;
   int64_t edit_score = 0;
   int32_t nrec = 0;
@@ -262,13 +274,26 @@ int32_t stitch_chain(
         bool done = false;
         if (r_len > clip_len && sim < clip_sim) {
           int32_t qle, tle, g1, g2, g3;
-          sw_extend((int32_t)r_len, q_rc.data(), (int32_t)t_len, t_rc.data(),
-                    5, mat_clip, clip_gapo, clip_gape, clip_gapo, clip_gape,
-                    clip_band, 0, clip_zdrop, (int32_t)r_len, &qle, &tle, &g1,
-                    &g2, &g3);
+          if (esc_ok(0, 0)) {
+            qle = (int32_t)esc_a[eidx(0, 0)];
+            tle = (int32_t)esc_b[eidx(0, 0)];
+          } else {
+            sw_extend((int32_t)r_len, q_rc.data(), (int32_t)t_len,
+                      t_rc.data(), 5, mat_clip, clip_gapo, clip_gape,
+                      clip_gapo, clip_gape, clip_band, 0, clip_zdrop,
+                      (int32_t)r_len, &qle, &tle, &g1, &g2, &g3);
+          }
           if (qle > 0 && qle < r_len) {
-            int64_t d2 = nw_align(q_rc.data(), qle, t_rc.data(), tle,
-                                  moves.data(), &mlen);
+            int64_t d2;
+            if (esc_ok(0, 2)) {
+              d2 = esc_a[eidx(0, 2)];
+              mlen = esc_b[eidx(0, 2)];
+              std::memcpy(moves.data(), esc_moves + esc_off[eidx(0, 2)],
+                          mlen);
+            } else {
+              d2 = nw_align(q_rc.data(), qle, t_rc.data(), tle,
+                            moves.data(), &mlen);
+            }
             push_front_aln(cig, md, t_rc.data(), moves.data(), mlen);
             edit_score -= d2;
             rec.pos = chain_t[0] - (tle - 1) - 1;
@@ -336,24 +361,43 @@ int32_t stitch_chain(
       if ((r_len > t_len ? r_len - t_len : t_len - r_len) >= split_len &&
           sim < split_sim) {
         int32_t qle1, tle1, qle2, tle2, g1, g2, g3;
-        sw_extend((int32_t)r_len, q_seq, (int32_t)t_len, t_seq, 5, mat_clip,
-                  split_odel, split_edel, split_oins, split_eins, split_band,
-                  0, split_zdrop, (int32_t)r_len, &qle1, &tle1, &g1, &g2,
-                  &g3);
+        const int32_t slot = i + 1;
+        if (esc_ok(slot, 0)) {
+          qle1 = (int32_t)esc_a[eidx(slot, 0)];
+          tle1 = (int32_t)esc_b[eidx(slot, 0)];
+        } else {
+          sw_extend((int32_t)r_len, q_seq, (int32_t)t_len, t_seq, 5,
+                    mat_clip, split_odel, split_edel, split_oins,
+                    split_eins, split_band, 0, split_zdrop, (int32_t)r_len,
+                    &qle1, &tle1, &g1, &g2, &g3);
+        }
         rc_into(q_seq, r_len, q_rc);
         rc_into(t_seq, t_len, t_rc);
-        sw_extend((int32_t)r_len, q_rc.data(), (int32_t)t_len, t_rc.data(),
-                  5, mat_clip, split_odel, split_edel, split_oins, split_eins,
-                  split_band, 0, split_zdrop, (int32_t)r_len, &qle2, &tle2,
-                  &g1, &g2, &g3);
+        if (esc_ok(slot, 1)) {
+          qle2 = (int32_t)esc_a[eidx(slot, 1)];
+          tle2 = (int32_t)esc_b[eidx(slot, 1)];
+        } else {
+          sw_extend((int32_t)r_len, q_rc.data(), (int32_t)t_len,
+                    t_rc.data(), 5, mat_clip, split_odel, split_edel,
+                    split_oins, split_eins, split_band, 0, split_zdrop,
+                    (int32_t)r_len, &qle2, &tle2, &g1, &g2, &g3);
+        }
         int64_t r_s_new = r_s + qle1, t_s_new = t_s + tle1;
         int64_t r_e_new = r_e - qle2, t_e_new = t_e - tle2;
 
         if (r_s_new < r_e_new || t_s_new < t_e_new) {
           // first part (:1998-2031)
           if (r_s_new > r_s || t_s_new > t_s) {
-            int64_t d1 = nw_align(q_seq, r_s_new - r_s, t_seq, t_s_new - t_s,
-                                  moves.data(), &mlen);
+            int64_t d1;
+            if (esc_ok(slot, 2)) {
+              d1 = esc_a[eidx(slot, 2)];
+              mlen = esc_b[eidx(slot, 2)];
+              std::memcpy(moves.data(), esc_moves + esc_off[eidx(slot, 2)],
+                          mlen);
+            } else {
+              d1 = nw_align(q_seq, r_s_new - r_s, t_seq, t_s_new - t_s,
+                            moves.data(), &mlen);
+            }
             push_back_aln(cig, md, t_seq, moves.data(), mlen);
             edit_score -= d1;
           }
@@ -376,12 +420,24 @@ int32_t stitch_chain(
             int64_t mid_len_t = t_e_new - t_s_new;
             const uint8_t* t_mid = ctx.slice(t_s_new, mid_len_t);
             const uint8_t* q_mid = query + r_s_new;
-            int64_t d_f =
-                nw_align(q_mid, mid_len_r, t_mid, mid_len_t, moves.data(),
-                         &mlen);
-            rc_into(q_mid, mid_len_r, q_tmp);
-            int64_t d_r = nw_align(q_tmp.data(), mid_len_r, t_mid, mid_len_t,
-                                   moves.data(), &mlen);
+            int64_t d_f;
+            if (esc_ok(slot, 3)) {
+              d_f = esc_a[eidx(slot, 3)];
+            } else {
+              d_f = nw_align(q_mid, mid_len_r, t_mid, mid_len_t,
+                             moves.data(), &mlen);
+            }
+            int64_t d_r;
+            if (esc_ok(slot, 4)) {
+              d_r = esc_a[eidx(slot, 4)];
+              mlen = esc_b[eidx(slot, 4)];
+              std::memcpy(moves.data(), esc_moves + esc_off[eidx(slot, 4)],
+                          mlen);
+            } else {
+              rc_into(q_mid, mid_len_r, q_tmp);
+              d_r = nw_align(q_tmp.data(), mid_len_r, t_mid, mid_len_t,
+                             moves.data(), &mlen);
+            }
             double sim_f = 1.0 - (double)d_f / (double)mid_len_r;
             double sim_r = 1.0 - (double)d_r / (double)mid_len_r;
             if (sim_r > sim_f && sim_r > reverse_sim) {
@@ -413,8 +469,16 @@ int32_t stitch_chain(
           if (r_e_new < r_e || t_e_new < t_e) {
             rc_into(q_seq, r_len, q_rc);
             rc_into(t_seq, t_len, t_rc);
-            int64_t d2 = nw_align(q_rc.data(), r_e - r_e_new, t_rc.data(),
-                                  t_e - t_e_new, moves.data(), &mlen);
+            int64_t d2;
+            if (esc_ok(slot, 5)) {
+              d2 = esc_a[eidx(slot, 5)];
+              mlen = esc_b[eidx(slot, 5)];
+              std::memcpy(moves.data(), esc_moves + esc_off[eidx(slot, 5)],
+                          mlen);
+            } else {
+              d2 = nw_align(q_rc.data(), r_e - r_e_new, t_rc.data(),
+                            t_e - t_e_new, moves.data(), &mlen);
+            }
             push_front_aln(cig, md, t_rc.data(), moves.data(), mlen);
             edit_score -= d2;
           }
@@ -483,12 +547,25 @@ int32_t stitch_chain(
         bool done = false;
         if (r_len > clip_len && sim < clip_sim) {
           int32_t qle, tle, g1, g2, g3;
-          sw_extend((int32_t)r_len, q_seq, (int32_t)t_len, t_seq, 5, mat_clip,
-                    clip_gapo, clip_gape, clip_gapo, clip_gape, clip_band, 0,
-                    clip_zdrop, (int32_t)r_len, &qle, &tle, &g1, &g2, &g3);
+          if (esc_ok(n, 0)) {
+            qle = (int32_t)esc_a[eidx(n, 0)];
+            tle = (int32_t)esc_b[eidx(n, 0)];
+          } else {
+            sw_extend((int32_t)r_len, q_seq, (int32_t)t_len, t_seq, 5,
+                      mat_clip, clip_gapo, clip_gape, clip_gapo, clip_gape,
+                      clip_band, 0, clip_zdrop, (int32_t)r_len, &qle, &tle,
+                      &g1, &g2, &g3);
+          }
           if (qle > 0 && qle < r_len) {
-            int64_t d2 =
-                nw_align(q_seq, qle, t_seq, tle, moves.data(), &mlen);
+            int64_t d2;
+            if (esc_ok(n, 2)) {
+              d2 = esc_a[eidx(n, 2)];
+              mlen = esc_b[eidx(n, 2)];
+              std::memcpy(moves.data(), esc_moves + esc_off[eidx(n, 2)],
+                          mlen);
+            } else {
+              d2 = nw_align(q_seq, qle, t_seq, tle, moves.data(), &mlen);
+            }
             push_back_aln(cig, md, t_seq, moves.data(), mlen);
             edit_score -= d2;
             rec.pos_end = t_start + (tle - 1);

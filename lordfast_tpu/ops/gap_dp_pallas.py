@@ -61,7 +61,12 @@ class GapColsResult(NamedTuple):
     dist: jnp.ndarray      # (G,) int32
     end: jnp.ndarray       # (G,) int32 (SHW best end / -1; NW: tl-1)
     lead: jnp.ndarray      # (G,) int32 path-leading insert count
-    colcode: jnp.ndarray   # (G, T) uint16: (run << 2) | move per column
+    # (T, G) uint16: (run << 2) | move per column.  Deliberately NOT
+    # transposed on device: a (G, T) device array with a short minor
+    # dimension device_gets ~4000x slower over tunneled backends (the
+    # runtime fetches it row-by-row); (T, G) moves at full link speed
+    # and the host decode reads columns via a free .T view.
+    colcode: jnp.ndarray
 
 
 def _g_tile(Q: int, T: int, G: int) -> int:
@@ -295,7 +300,7 @@ def gap_align_pl(qs, ql, ts, tl, is_shw, Q: int, T: int,
     dist, end, lead, colcode = out
     return GapColsResult(
         dist=dist[0], end=end[0], lead=lead[0],
-        colcode=colcode.T.astype(jnp.uint16),
+        colcode=colcode.astype(jnp.uint16),
     )
 
 
@@ -311,10 +316,12 @@ def gap_align_from_desc_pl(pac_words, reads, desc, Q: int, T: int,
     return gap_align_pl(qs, ql, ts, tl, desc["is_shw"], Q, T)
 
 
-def decode_col_moves(colcode: np.ndarray, end: np.ndarray,
+def decode_col_moves(colcode_tg: np.ndarray, end: np.ndarray,
                      lead: np.ndarray) -> list:
     """Host-side: expand per-column (run, move) codes into the oracle's
-    forward move arrays (one np.repeat per gap)."""
+    forward move arrays (one np.repeat per gap).  colcode_tg is the
+    kernel's (T, G) layout (see GapColsResult.colcode)."""
+    colcode = colcode_tg.T
     G = colcode.shape[0]
     out = []
     for g in range(G):

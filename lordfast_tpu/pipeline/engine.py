@@ -45,7 +45,8 @@ def _pad_to_bucket(n: int, buckets=(1024, 2048, 4096, 8192, 16384, 32768,
 
 class MappingEngine:
     def __init__(self, idx: FMIndex, cfg: Optional[LordfastConfig] = None,
-                 mesh=None, shard_index: bool = False):
+                 mesh=None, shard_index: bool = False,
+                 esc_device: Optional[bool] = None):
         """mesh: optional jax.sharding.Mesh with a "data" axis — the device
         stage is then sharded over reads across the mesh with the index
         replicated (the TPU-native analog of the reference's pthread pool,
@@ -74,6 +75,10 @@ class MappingEngine:
         import jax
 
         self._gap_pallas = jax.default_backend() == "tpu"
+        # device escalation offload (affine + secondary Myers passes):
+        # default on-TPU-only; tests force it on CPU (interpret mode)
+        self._esc_device = (esc_device if esc_device is not None
+                            else self._gap_pallas)
         self._gap_shapes_seen = set()
 
         n_workers = self.cfg.num_threads or (os.cpu_count() or 1)
@@ -290,70 +295,53 @@ class MappingEngine:
                           False, True))
         return descs
 
-    def _precompute_gaps(self, jobs, reads_dev):
-        """Batched device gap-DP over every plain-path DP site of every
-        selected window in the batch (SURVEY.md §7 step 5): bucket the
-        descriptors by padded size, run the Myers kernel per bucket, and
-        scatter results back into per-window gap tables consumed by the
-        native stitcher.  Oversized gaps are left to the host (rare)."""
+    def _run_gap_descs(self, items, reads_dev):
+        """Batched device Myers DP over arbitrary gap descriptors.
+
+        items: list of (key, desc) with desc = (row_j, q_start, q_len,
+        q_rc, t_start, t_len, t_rc, is_shw) in forward-read-row / global
+        genome coordinates (see _gap_descriptors).  Buckets by padded
+        size, dispatches all sub-batches asynchronously, then does ONE
+        blocking device_get (roundtrip latency dominates on tunneled
+        backends).  Returns {key: (dist, end, moves)}; descriptors larger
+        than every bucket are omitted (the native stitcher computes those
+        locally)."""
         cfg = self.cfg
         buckets = cfg.gap_buckets
         per_bucket = [[] for _ in buckets]
         n_host = 0
         want_hist = cfg.verbosity >= 2  # hoisted out of the hot loop
         gsz_hist = {}
-        for job_id, job in enumerate(jobs):
-            for d in job["descs"]:
-                q_len, t_len = d[3], d[6]
-                if want_hist:
-                    m = 1 << max(max(q_len, t_len) - 1, 0).bit_length()
-                    gsz_hist[m] = gsz_hist.get(m, 0) + 1
-                for bi, (Q, T, _) in enumerate(buckets):
-                    if q_len <= Q and t_len <= T:
-                        per_bucket[bi].append((job_id, d))
-                        break
-                else:
-                    n_host += 1
+        for key, d in items:
+            q_len, t_len = d[2], d[5]
+            if want_hist:
+                m = 1 << max(max(q_len, t_len) - 1, 0).bit_length()
+                gsz_hist[m] = gsz_hist.get(m, 0) + 1
+            for bi, (Q, T, _) in enumerate(buckets):
+                if q_len <= Q and t_len <= T:
+                    per_bucket[bi].append((key, d))
+                    break
+            else:
+                n_host += 1
         if want_hist:
             for m, cnt in gsz_hist.items():
                 self.metrics.add(f"gsz_{m}", cnt)
         if n_host:
             self.metrics.add("gaps_host", n_host)
 
-        tables = {}
-
-        def table_for(job_id):
-            t = tables.get(job_id)
-            if t is None:
-                ns = len(jobs[job_id]["cq"]) + 1
-                t = {
-                    "has": np.zeros(ns, np.uint8),
-                    "dist": np.zeros(ns, np.int64),
-                    "end": np.zeros(ns, np.int64),
-                    "len": np.zeros(ns, np.int64),
-                    "mv": [None] * ns,
-                }
-                tables[job_id] = t
-            return t
-
-        # Phase 1: dispatch every sub-batch asynchronously (JAX dispatch
-        # does not block); phase 2: ONE blocking device_get for all of
-        # them.  One roundtrip per batch instead of one per sub-batch —
-        # the roundtrip latency (not bandwidth) dominates on remote or
-        # tunneled TPU backends.
-        pending = []  # (part, GapResult)
+        pending = []  # (part, GapResult-like)
         t_pack = time.time()
-        for bi, items in enumerate(per_bucket):
-            if not items:
+        for bi, per in enumerate(per_bucket):
+            if not per:
                 continue
             Q, T, G = buckets[bi]
-            self.metrics.add(f"gaps_b{Q}", len(items))
+            self.metrics.add(f"gaps_b{Q}", len(per))
             # a new (gap bucket x read-length bucket) shape pays its JIT
             # trace+compile synchronously on first dispatch; book that
             # under gap_compile, not gap_pack (steady-state metric)
             shape_key = (Q, T, tuple(reads_dev.shape))
-            for s in range(0, len(items), G):
-                part = items[s : s + G]
+            for s in range(0, len(per), G):
+                part = per[s : s + G]
                 desc = {
                     "q_read": np.zeros(G, np.int32),
                     "q_start": np.zeros(G, np.int32),
@@ -365,8 +353,8 @@ class MappingEngine:
                     "is_shw": np.zeros(G, bool),
                     "valid": np.zeros(G, bool),
                 }
-                for gi, (job_id, d) in enumerate(part):
-                    (_, j, qa, qn, qrc, ta, tn, trc, shw) = d
+                for gi, (_, d) in enumerate(part):
+                    (j, qa, qn, qrc, ta, tn, trc, shw) = d
                     desc["q_read"][gi] = j
                     desc["q_start"][gi] = qa
                     desc["q_len"][gi] = qn
@@ -396,6 +384,7 @@ class MappingEngine:
 
         self.metrics.timers["gap_pack"] += time.time() - t_pack
 
+        results = {}
         if pending:
             import jax
 
@@ -406,22 +395,47 @@ class MappingEngine:
             for (part, r), vals in zip(pending, fetched):
                 g = len(part)
                 if isinstance(r, gap_dp_pallas.GapColsResult):
-                    dist, end, lead, colcode = vals
+                    dist, end, lead, colcode = vals  # colcode: (T, G)
                     moves = gap_dp_pallas.decode_col_moves(
-                        colcode[:g], end[:g], lead[:g]
+                        colcode[:, :g], end[:g], lead[:g]
                     )
                 else:
                     dist, end, packed, _mlen = vals
                     moves = gap_dp.unpack_moves(packed[:g], _mlen[:g])
-                for gi, (job_id, d) in enumerate(part):
-                    slot = d[0]
-                    t = table_for(job_id)
-                    t["has"][slot] = 1
-                    t["dist"][slot] = dist[gi]
-                    t["end"][slot] = end[gi]
-                    t["len"][slot] = len(moves[gi])
-                    t["mv"][slot] = moves[gi]
+                for gi, (key, d) in enumerate(part):
+                    results[key] = (int(dist[gi]), int(end[gi]), moves[gi])
             self.metrics.timers["gap_unpack"] += time.time() - t_unpack
+        return results
+
+    def _precompute_gaps(self, jobs, reads_dev):
+        """Batched device gap-DP over every plain-path DP site of every
+        selected window in the batch (SURVEY.md §7 step 5), assembled
+        into per-window gap tables consumed by the native stitcher."""
+        items = [
+            ((job_id, d[0]), d[1:])
+            for job_id, job in enumerate(jobs)
+            for d in job["descs"]
+        ]
+        results = self._run_gap_descs(items, reads_dev)
+
+        tables = {}
+        for (job_id, slot), (dist, end, moves) in results.items():
+            t = tables.get(job_id)
+            if t is None:
+                ns = len(jobs[job_id]["cq"]) + 1
+                t = {
+                    "has": np.zeros(ns, np.uint8),
+                    "dist": np.zeros(ns, np.int64),
+                    "end": np.zeros(ns, np.int64),
+                    "len": np.zeros(ns, np.int64),
+                    "mv": [None] * ns,
+                }
+                tables[job_id] = t
+            t["has"][slot] = 1
+            t["dist"][slot] = dist
+            t["end"][slot] = end
+            t["len"][slot] = len(moves)
+            t["mv"][slot] = moves
 
         # concatenate per-job move buffers with offsets
         out = {}
@@ -441,28 +455,288 @@ class MappingEngine:
                            t["len"])
         return out
 
-    def _stitch_job(self, job, gap_table) -> Mapping:
+    # escalation sub-slot indices (per gap slot; stitch.cpp esc_* ABI)
+    ESC_KSW1, ESC_KSW2, ESC_NW_A, ESC_NW_IF, ESC_NW_IR, ESC_NW_B = range(6)
+
+    @staticmethod
+    def _sub_view(start, length, rc, a, L, extra_rc):
+        """Global (start, rc) of slice [a, a+L) of the oriented view
+        (start, length, rc), optionally reverse-complemented again."""
+        if rc:
+            return start + length - a - L, (not extra_rc)
+        return start + a, extra_rc
+
+    def _run_affine_descs(self, items, reads_dev):
+        """Batched device ksw_extend2 over escalation descriptors.
+
+        items: list of (key, desc8, kind) with desc8 = (row, qa, qn, qrc,
+        ta, tn, trc, shw) and kind in {"clip", "split"} selecting the
+        reference's parameter set (src/LordFAST.cpp:1848 vs :1971).
+        Returns {key: (score, qle, tle)}; oversized sites are omitted
+        (the stitcher runs them locally)."""
+        cfg = self.cfg
+        w_max = max(cfg.clip_band, cfg.split_band)
+        BW = 128 * ((2 * w_max + 2 + 127) // 128)
+        per = [[] for _ in cfg.affine_buckets]
+        n_host = 0
+        for it in items:
+            qn, tn = it[1][2], it[1][5]
+            for bi, (Qe, Te, _) in enumerate(cfg.affine_buckets):
+                if qn <= Qe and tn <= Te:
+                    per[bi].append(it)
+                    break
+            else:
+                n_host += 1
+        if n_host:
+            self.metrics.add("esc_host", n_host)
+
+        pending = []
+        interp = not self._gap_pallas
+        for bi, group in enumerate(per):
+            if not group:
+                continue
+            Qe, Te, G = cfg.affine_buckets[bi]
+            self.metrics.add(f"esc_b{Qe}", len(group))
+            for s in range(0, len(group), G):
+                part = group[s : s + G]
+                desc = {
+                    "q_read": np.zeros(G, np.int32),
+                    "q_start": np.zeros(G, np.int32),
+                    "q_len": np.ones(G, np.int32),
+                    "q_rc": np.zeros(G, bool),
+                    "t_start": np.zeros(G, np.int64),
+                    "t_len": np.ones(G, np.int32),
+                    "t_rc": np.zeros(G, bool),
+                    "is_shw": np.zeros(G, bool),
+                    "valid": np.zeros(G, bool),
+                    "o_del": np.ones(G, np.int32),
+                    "e_del": np.ones(G, np.int32),
+                    "o_ins": np.ones(G, np.int32),
+                    "e_ins": np.ones(G, np.int32),
+                    "w_eff": np.ones(G, np.int32),
+                    "zdrop": np.zeros(G, np.int32),
+                    "h0": np.ones(G, np.int32),
+                    "match": np.full(G, cfg.ksw_match_clip, np.int32),
+                    "mismatch": np.full(G, cfg.ksw_mismatch_clip,
+                                        np.int32),
+                }
+                from ..ops import affine_pl
+
+                for gi, (key, d8, kind) in enumerate(part):
+                    (row, qa, qn, qrc, ta, tn, trc, _s) = d8
+                    desc["q_read"][gi] = row
+                    desc["q_start"][gi] = qa
+                    desc["q_len"][gi] = qn
+                    desc["q_rc"][gi] = qrc
+                    desc["t_start"][gi] = ta
+                    desc["t_len"][gi] = tn
+                    desc["t_rc"][gi] = trc
+                    desc["valid"][gi] = True
+                    if kind == "clip":
+                        od = oi = cfg.ksw_gap_open_clip
+                        ed_ = ei = cfg.ksw_gap_extend_clip
+                        w, zd = cfg.clip_band, cfg.clip_zdrop
+                    else:
+                        od, ed_ = cfg.split_o_del, cfg.split_e_del
+                        oi, ei = cfg.split_o_ins, cfg.split_e_ins
+                        w, zd = cfg.split_band, cfg.split_zdrop
+                    desc["o_del"][gi] = od
+                    desc["e_del"][gi] = ed_
+                    desc["o_ins"][gi] = oi
+                    desc["e_ins"][gi] = ei
+                    desc["zdrop"][gi] = zd
+                    desc["h0"][gi] = qn
+                    desc["w_eff"][gi] = affine_pl.clamp_band(
+                        qn, cfg.ksw_match_clip, 0, od, ed_, oi, ei, w
+                    )
+                res = affine_pl.extend_from_desc(
+                    self.arrs["pac_words"], reads_dev, desc, Qe, Te, BW,
+                    w_max, self.meta["l_pac"], interpret=interp,
+                )
+                pending.append((part, res))
+
+        results = {}
+        if pending:
+            import jax
+
+            t_wait = time.time()
+            fetched = jax.device_get([tuple(r) for _, r in pending])
+            self.metrics.timers["esc_wait"] += time.time() - t_wait
+            for (part, _), vals in zip(pending, fetched):
+                score, qle, tle = vals[0], vals[1], vals[2]
+                for gi, (key, d8, kind) in enumerate(part):
+                    results[key] = (int(score[gi]), int(qle[gi]),
+                                    int(tle[gi]))
+        return results
+
+    def _escalation_pass(self, jobs, tables, reads_dev):
+        """Device offload of the clip / split escalation DPs.
+
+        Phase B: replay the stitcher's escalation decisions (float32 sim
+        arithmetic; src/LordFAST.cpp:1846,1952) against the plain-path
+        gap results, batching every flagged site into the Pallas affine
+        kernel.  Phase C: the secondary NW segments the affine ends imply
+        (clip-trimmed prefix, split part1/part2, inversion middle,
+        src/LordFAST.cpp:1850,1998-2093,2034-2077) run through the
+        batched Myers kernel.  Every result is exact vs the stitcher's
+        local DP, so partial coverage is safe — the stitcher computes any
+        missing piece itself."""
+        cfg = self.cfg
+        E = self  # sub-slot constants
+        aff = []
+        for job_id, job in enumerate(jobs):
+            tab = tables.get(job_id)
+            if tab is None:
+                continue
+            has, dist = tab[0], tab[1]
+            for d in job["descs"]:
+                slot = d[0]
+                if not has[slot]:
+                    continue
+                d8 = d[1:]
+                q_len, t_len, shw = d8[2], d8[5], d8[7]
+                sim = float(np.float32(1.0)
+                            - np.float32(int(dist[slot]))
+                            / np.float32(q_len))
+                if shw:
+                    if q_len > cfg.clip_len and sim < cfg.clip_sim:
+                        aff.append(((job_id, slot, E.ESC_KSW1), d8,
+                                    "clip"))
+                elif (abs(q_len - t_len) >= cfg.split_len
+                      and sim < cfg.split_sim):
+                    aff.append(((job_id, slot, E.ESC_KSW1), d8, "split"))
+                    (row, qa, qn, qrc, ta, tn, trc, _s) = d8
+                    aff.append(((job_id, slot, E.ESC_KSW2),
+                                (row, qa, qn, not qrc, ta, tn, not trc,
+                                 _s), "split"))
+        if not aff:
+            return {}
+        self.metrics.add("esc_sites", len(aff))
+        with self.metrics.timer("esc_affine"):
+            aff_res = self._run_affine_descs(aff, reads_dev)
+
+        # ---- phase C: secondary NW descriptors ----
+        def nw_desc(d8, qa_off, qL, qX, ta_off, tL, tX):
+            (row, qa, qn, qrc, ta, tn, trc, _s) = d8
+            q2, qrc2 = self._sub_view(qa, qn, qrc, qa_off, qL, qX)
+            t2, trc2 = self._sub_view(ta, tn, trc, ta_off, tL, tX)
+            return (row, q2, qL, qrc2, t2, tL, trc2, False)
+
+        by_site = {}
+        for key, d8, kind in aff:
+            job_id, slot, sub = key
+            by_site.setdefault((job_id, slot), {})[sub] = (d8, kind)
+        nw_items = []
+        esc_vals = {}  # key -> (a, b) for the ksw subs
+        for (job_id, slot), subs in by_site.items():
+            d8, kind = subs[E.ESC_KSW1]
+            q_len, t_len = d8[2], d8[5]
+            k1 = (job_id, slot, E.ESC_KSW1)
+            if k1 not in aff_res:
+                continue
+            _, qle1, tle1 = aff_res[k1]
+            esc_vals[k1] = (qle1, tle1)
+            if kind == "clip":
+                if 0 < qle1 < q_len and tle1 >= 1:
+                    nw_items.append(((job_id, slot, E.ESC_NW_A),
+                                     nw_desc(d8, 0, qle1, False, 0, tle1,
+                                             False)))
+                continue
+            k2 = (job_id, slot, E.ESC_KSW2)
+            if k2 not in aff_res:
+                continue
+            _, qle2, tle2 = aff_res[k2]
+            esc_vals[k2] = (qle2, tle2)
+            if not (qle1 < q_len - qle2 or tle1 < t_len - tle2):
+                continue  # degenerate split: stitcher takes plain path
+            if qle1 >= 1 and tle1 >= 1:
+                nw_items.append(((job_id, slot, E.ESC_NW_A),
+                                 nw_desc(d8, 0, qle1, False, 0, tle1,
+                                         False)))
+            mid_r = q_len - qle1 - qle2
+            mid_t = t_len - tle1 - tle2
+            if mid_r > 0 and mid_t > 0:
+                nw_items.append(((job_id, slot, E.ESC_NW_IF),
+                                 nw_desc(d8, qle1, mid_r, False, tle1,
+                                         mid_t, False)))
+                nw_items.append(((job_id, slot, E.ESC_NW_IR),
+                                 nw_desc(d8, qle1, mid_r, True, tle1,
+                                         mid_t, False)))
+            if qle2 >= 1 and tle2 >= 1:
+                nw_items.append(((job_id, slot, E.ESC_NW_B),
+                                 nw_desc(d8, q_len - qle2, qle2, True,
+                                         t_len - tle2, tle2, True)))
+        nw_res = self._run_gap_descs(nw_items, reads_dev) if nw_items \
+            else {}
+
+        # ---- assemble per-job escalation tables ----
+        esc = {}
+        def etab(job_id):
+            t = esc.get(job_id)
+            if t is None:
+                ns = (len(jobs[job_id]["cq"]) + 1) * 6
+                t = {"has": np.zeros(ns, np.uint8),
+                     "a": np.zeros(ns, np.int64),
+                     "b": np.zeros(ns, np.int64),
+                     "mv": [None] * ns}
+                esc[job_id] = t
+            return t
+
+        for (job_id, slot, sub), (a, b) in esc_vals.items():
+            t = etab(job_id)
+            i = slot * 6 + sub
+            t["has"][i] = 1
+            t["a"][i] = a
+            t["b"][i] = b
+        for (job_id, slot, sub), (dist, _end, moves) in nw_res.items():
+            t = etab(job_id)
+            i = slot * 6 + sub
+            t["has"][i] = 1
+            t["a"][i] = dist
+            t["b"][i] = len(moves)
+            t["mv"][i] = moves
+
+        out = {}
+        for job_id, t in esc.items():
+            ns = len(t["has"])
+            off = np.zeros(ns, np.int64)
+            bufs = []
+            pos = 0
+            for i in range(ns):
+                if t["mv"][i] is not None:
+                    off[i] = pos
+                    bufs.append(t["mv"][i])
+                    pos += len(t["mv"][i])
+            mvbuf = (np.concatenate(bufs) if bufs
+                     else np.zeros(0, np.uint8))
+            out[job_id] = (t["has"], t["a"], t["b"], mvbuf, off)
+        return out
+
+    def _stitch_job(self, job, gap_table, esc_table) -> Mapping:
         # thread-pool worker: must not touch shared mutable state
         # (metrics are accounted serially by the caller)
         return align_and_score(
             job["cq"], job["ct"], job["cl"], job["query"], job["read_len"],
             job["is_rev"], self.idx, self.cfg, gap_table=gap_table,
+            esc_table=esc_table,
         )
 
-    def _stitch_all(self, jobs, tables) -> List[Mapping]:
+    def _stitch_all(self, jobs, tables, esc_tables) -> List[Mapping]:
         """Stitch every selected window of the batch, across host threads
         when a pool exists (reference parity: one worker per core,
         src/LordFAST.cpp:305-316; --threads / cfg.num_threads)."""
         if self._pool is not None and len(jobs) > 1:
             mappings = list(
                 self._pool.map(
-                    lambda it: self._stitch_job(it[1], tables.get(it[0])),
+                    lambda it: self._stitch_job(it[1], tables.get(it[0]),
+                                                esc_tables.get(it[0])),
                     enumerate(jobs),
                 )
             )
         else:
             mappings = [
-                self._stitch_job(job, tables.get(jid))
+                self._stitch_job(job, tables.get(jid),
+                                 esc_tables.get(jid))
                 for jid, job in enumerate(jobs)
             ]
         for job, m in zip(jobs, mappings):
@@ -704,8 +978,15 @@ class MappingEngine:
             with self.metrics.timer("gap_dp"):
                 tables = self._precompute_gaps(jobs, reads_dev)
 
+            esc_tables = {}
+            if self._esc_device:
+                with self.metrics.timer("esc_dp"):
+                    esc_tables = self._escalation_pass(jobs, tables,
+                                                       reads_dev)
+
             with self.metrics.timer("stitch"):
-                mappings_by_job = self._stitch_all(jobs, tables)
+                mappings_by_job = self._stitch_all(jobs, tables,
+                                                   esc_tables)
 
             for j, i in enumerate(idxs):
                 read_len = len(batch[j].seq)
