@@ -83,10 +83,12 @@ class LordfastConfig:
     sa_interval: int = 0
     sa_mem_budget: int = 2 << 30    # bytes of HBM the SA may occupy
 
-    # chaining DP score dtype: "f64" reproduces the reference's double
-    # arithmetic bit-for-bit; "f32" runs ~100x faster on TPU (no native
-    # fp64) at the cost of potential window-ranking flips within ~1e-4
-    # relative score differences; "auto" = f64 on CPU, f32 on TPU.
+    # chaining DP score dtype.  "auto" (default) = f64 everywhere: on CPU
+    # this reproduces the reference's double arithmetic bit-for-bit; on
+    # TPU XLA emulates f64 at no measurable cost for this DP's size and
+    # matches the reference to ~1e-13 relative (the residual is XLA's
+    # f64 log vs libm).  "f32" is available for experiments; it can flip
+    # score-tied window rankings (~1 read in 60 on the test fixture).
     chain_dp_dtype: str = "auto"
 
     # ---- TPU batching budgets (no reference equivalent: the reference
@@ -110,9 +112,15 @@ class LordfastConfig:
     # tuned to the PacBio-CLR gap-size distribution (sampling_count=1000
     # seeds give dense anchors, so most inter-seed gaps are <=64 bp; the
     # tail buckets catch end extensions and sparse-chain windows)
+    # The asymmetric buckets catch SV-deletion-shaped gaps (tiny query,
+    # kilobase target) in the Pallas kernel: Myers VMEM cost scales with
+    # T * (Q/32), so a narrow-query bucket affords a deep target.  The
+    # final (2048, 2176) bucket (large-query gaps) runs the jnp kernel.
     gap_buckets: tuple = ((32, 48, 4096), (64, 96, 2048),
                           (128, 160, 1024), (256, 320, 512),
-                          (512, 576, 256), (2048, 2176, 64))
+                          (512, 576, 256), (32, 4096, 512),
+                          (64, 2304, 512), (128, 1152, 512),
+                          (2048, 2176, 64))
     # device affine-extension bucket shapes (ops/affine_pl.py):
     # (Qe, Te, G) padded query/target lengths and problems per call for
     # the clip/split escalation ksw_extend2 kernel; larger escalation

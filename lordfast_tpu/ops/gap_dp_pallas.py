@@ -54,7 +54,7 @@ INT32_MAX = np.int32(2**31 - 1)
 # wider gaps keep the jnp kernel (VMEM bitplane budget; they are rare).
 MAX_PALLAS_Q = 512
 
-_VMEM_PLANE_BUDGET = 9 * 2**20  # bytes for the two decision planes
+_VMEM_PLANE_BUDGET = 11 * 2**20  # VMEM bytes for planes + ts + colcode
 
 
 class GapColsResult(NamedTuple):
@@ -70,8 +70,11 @@ class GapColsResult(NamedTuple):
 
 
 def _g_tile(Q: int, T: int, G: int) -> int:
+    """Lanes per grid step, bounded by the VMEM budget: two (T*W, GT)
+    uint32 decision planes plus the (T, GT) int32 ts input and colcode
+    output — GT * T * (8W + 8) bytes total."""
     W = Q // 32
-    cap = _VMEM_PLANE_BUDGET // (2 * T * W * 4)
+    cap = _VMEM_PLANE_BUDGET // (T * (8 * W + 8))
     t = 128
     while t * 2 <= min(cap, G):
         t *= 2
