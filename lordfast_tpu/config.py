@@ -104,7 +104,10 @@ class LordfastConfig:
     compact_windows_per_read: int = 8  # avg chaining slots per read (K = B*this)
     max_chain_seeds: int = 512      # seeds entering the chaining DP / window
     chain_transfer_cap: int = 160   # chain slots copied to host eagerly
-    batch_reads: int = 64           # reads per device batch
+    # reads per device batch: on tunneled backends per-dispatch overhead
+    # dominates small batches; 128 measured ~20% faster end-to-end than
+    # 64 and faster than 256 (padding waste) on the honest bench
+    batch_reads: int = 128
     # device gap-DP bucket shapes (ops/gap_dp.py): (Q, T, G) = padded
     # query len (mult of 32), padded target len ((Q+T) mult of 16), gaps
     # per kernel invocation.  A gap uses the first bucket with

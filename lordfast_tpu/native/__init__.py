@@ -66,6 +66,12 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
         ]
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.decode_colcodes.restype = ctypes.c_int64
+        lib.decode_colcodes.argtypes = [
+            u16p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+            u8p, ctypes.c_int64, i64p, i64p,
+        ]
         lib.stitch_chain.restype = ctypes.c_int32
         lib.stitch_chain.argtypes = [
             i64p, i64p, i64p, ctypes.c_int32,              # chain

@@ -301,3 +301,37 @@ int32_t sw_extend(int32_t qlen, const uint8_t* query, int32_t tlen,
 }
 
 }  // extern "C"
+
+// Expand the Myers Pallas kernel's per-column (run << 2 | move) codes
+// (ops/gap_dp_pallas.py GapColsResult) into flat forward move arrays.
+// col: (g, T) row-major uint16 (the kernel's (T, G) output transposed and
+// sliced to the used gaps); ends/leads per gap.  Writes all gaps' moves
+// into `out` back to back, recording per-gap offsets and lengths.
+// Returns total bytes written, or -1 if out_cap would overflow.
+extern "C" int64_t decode_colcodes(const uint16_t* col, int64_t T,
+                                   const int64_t* ends,
+                                   const int64_t* leads, int64_t g,
+                                   uint8_t* out, int64_t out_cap,
+                                   int64_t* offs, int64_t* lens) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < g; i++) {
+    offs[i] = pos;
+    const int64_t e = ends[i], ld = leads[i];
+    if (pos + ld > out_cap) return -1;
+    std::memset(out + pos, 1, ld);  // OP_INSERT
+    pos += ld;
+    if (e >= 0) {
+      const uint16_t* row = col + i * T;
+      for (int64_t c = 0; c <= e; c++) {
+        const uint16_t v = row[c];
+        const int64_t run = v >> 2;
+        if (pos + 1 + run > out_cap) return -1;
+        out[pos++] = (uint8_t)(v & 3);
+        std::memset(out + pos, 1, run);
+        pos += run;
+      }
+    }
+    lens[i] = pos - offs[i];
+  }
+  return pos;
+}

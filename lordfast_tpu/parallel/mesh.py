@@ -85,7 +85,11 @@ def post_seed_stage(arrs, seeds, reads, lens, cfg):
         # per-batch stage counters, reduced on device (SURVEY.md §5.5)
         "stat_seeds": seeds.n_total.astype(jnp.int32).sum(),
         "stat_candidates": cands.valid.sum().astype(jnp.int32),
-        "stat_fine_reads": cands.is_fine.sum().astype(jnp.int32),
+        # mask padding rows (lens == 0): their empty vote tables can
+        # classify as "fine" and inflate the counter
+        "stat_fine_reads": (cands.is_fine & (lens > 0)).sum().astype(
+            jnp.int32
+        ),
         "stat_chained_windows": (chains.chain_len > 1).sum().astype(
             jnp.int32
         ),

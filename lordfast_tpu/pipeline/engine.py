@@ -380,6 +380,13 @@ class MappingEngine:
                     dt = time.time() - t_d
                     self.metrics.timers["gap_compile"] += dt
                     t_pack += dt  # exclude compile from gap_pack
+                if isinstance(res, gap_dp_pallas.GapColsResult):
+                    # trim the (T, G) colcode transfer to the used lanes
+                    # (padded to a lane tile) — the final sub-batch of a
+                    # bucket is often mostly padding
+                    gp = 128 * ((len(part) + 127) // 128)
+                    if gp < res.colcode.shape[1]:
+                        res = res._replace(colcode=res.colcode[:, :gp])
                 pending.append((part, res))
 
         self.metrics.timers["gap_pack"] += time.time() - t_pack
