@@ -112,26 +112,50 @@ def build_index(fasta_path, cfg: LordfastConfig | None = None, verbose=True) -> 
     if l_pac == 0:
         raise ValueError(f"no sequences in {fasta_path}")
 
-    fwd = np.concatenate(fwd_parts)
-    del fwd_parts
-    # T = fwd + revcomp(fwd)  (bntseq.c:301-307)
-    text = np.concatenate([fwd, (3 - fwd[::-1]).astype(np.uint8)])
+    # T = fwd + revcomp(fwd)  (bntseq.c:301-307), built in one buffer so
+    # `fwd` never exists as a separate allocation (Gbp-scale RAM)
     seq_len = 2 * l_pac
+    text = np.empty(seq_len, np.uint8)
+    pos_w = 0
+    for part in fwd_parts:
+        text[pos_w : pos_w + len(part)] = part
+        pos_w += len(part)
+    del fwd_parts
+    np.subtract(3, text[:l_pac][::-1], out=text[l_pac:])
+    pac = pack_pac(text[:l_pac])
 
     if verbose:
         print(f"[index] packed {l_pac} bp ({len(names)} contigs) "
               f"in {time.time()-t0:.1f}s", flush=True)
 
-    # suffix array over T$ (sentinel = 0; shift codes up by 1)
+    # suffix array over T$ (sentinel = 0; shift codes up by 1); the +1
+    # text goes straight into its buffer (no extra copy)
     t1 = time.time()
-    sa_full = suffix_array(np.concatenate([text + 1, np.zeros(1, np.uint8)]))
+    tbuf = np.empty(seq_len + 1, np.uint8)
+    np.add(text, 1, out=tbuf[:seq_len])
+    tbuf[seq_len] = 0
+    sa_full = suffix_array(tbuf)
+    del tbuf
     if verbose:
         print(f"[index] suffix array in {time.time()-t1:.1f}s", flush=True)
 
-    # $-removed BWT + primary (bwa convention, lib/bwa/bwt.c:114)
-    nz = sa_full > 0
-    bwt_codes = text[sa_full[nz] - 1]
-    primary = int(np.nonzero(~nz)[0][0])
+    # $-removed BWT + primary (bwa convention, lib/bwa/bwt.c:114).
+    # Chunked over SA rows: the one-shot text[sa_full[sa_full > 0] - 1]
+    # materializes a second int64 SA-sized copy plus a bool mask — ~2.2x
+    # the SA itself in transients, the peak-RSS driver at Gbp scale.
+    bwt_codes = np.empty(seq_len, np.uint8)
+    primary = -1
+    pos_w = 0
+    CH = 1 << 26
+    for s in range(0, seq_len + 1, CH):
+        blk = sa_full[s : s + CH]
+        z = np.nonzero(blk == 0)[0]
+        if len(z):
+            primary = s + int(z[0])
+        keep = blk[blk > 0]
+        bwt_codes[pos_w : pos_w + len(keep)] = text[keep - 1]
+        pos_w += len(keep)
+    assert pos_w == seq_len and primary >= 0
     bwt_words = pack_bwt_words(bwt_codes)
 
     # Occ checkpoints every 128 bases
@@ -143,12 +167,19 @@ def build_index(fasta_path, cfg: LordfastConfig | None = None, verbose=True) -> 
         bwt_words = np.concatenate(
             [bwt_words, np.zeros(words_needed - len(bwt_words), np.uint32)]
         )
-    padded = np.full(n_blocks * occ_int, 255, dtype=np.uint8)  # pad != 0..3
-    padded[:seq_len] = bwt_codes
-    onehot = padded.reshape(n_blocks, occ_int)
-    per_block = np.stack(
-        [(onehot == c).sum(axis=1) for c in range(4)], axis=1
-    ).astype(np.uint64)
+    # per-block char counts, chunked (the one-shot onehot compare
+    # materializes 4 text-sized bools back to back at Gbp scale)
+    per_block = np.zeros((n_blocks, 4), dtype=np.uint64)
+    BCH = 1 << 22  # blocks per chunk
+    for b0 in range(0, n_blocks, BCH):
+        b1 = min(b0 + BCH, n_blocks)
+        lo = b0 * occ_int
+        hi = min(b1 * occ_int, seq_len)
+        seg = np.full((b1 - b0) * occ_int, 255, np.uint8)
+        seg[: hi - lo] = bwt_codes[lo:hi]
+        seg = seg.reshape(b1 - b0, occ_int)
+        for c in range(4):
+            per_block[b0:b1, c] = (seg == c).sum(axis=1)
     occ_cp = np.zeros((n_blocks + 1, 4), dtype=np.uint32)
     occ_cp[1:] = np.cumsum(per_block, axis=0).astype(np.uint32)
     # (counts of one char can exceed uint32 only beyond 17 Gbp; assert)
@@ -157,6 +188,7 @@ def build_index(fasta_path, cfg: LordfastConfig | None = None, verbose=True) -> 
     L2 = np.zeros(5, dtype=np.int64)
     cnt = np.bincount(text, minlength=4)
     L2[1:] = np.cumsum(cnt[:4])
+    del text, bwt_codes  # Gbp-scale: drop before the cache build
 
     # sampled SA: rows k % intv == 0 of the conceptual (n+1)-row matrix;
     # sa_full already is that matrix (row 0 = sentinel, value seq_len).
@@ -188,7 +220,7 @@ def build_index(fasta_path, cfg: LordfastConfig | None = None, verbose=True) -> 
         kcache_k=cfg.kmer_cache_k,
         kcache_beg=kb,
         kcache_end=ke,
-        pac=pack_pac(fwd),
+        pac=pac,
         contig_names=names,
         contig_offsets=np.asarray(offsets, dtype=np.int64),
         contig_lengths=np.asarray(lengths, dtype=np.int64),

@@ -241,6 +241,236 @@ def _make_kernel(Q: int, T: int, W: int, G: int):
     return kernel
 
 
+
+def _pick_tile(Q: int, T: int):
+    """Column-tile width for the checkpoint/recompute kernel: largest
+    multiple of 8 dividing T with TT * W <= 4608 plane rows."""
+    W = Q // 32
+    tt = (4608 // W) & ~7
+    while tt >= 8:
+        if T % tt == 0:
+            return tt
+        tt -= 8
+    return 0
+
+
+def supports(Q: int, T: int) -> bool:
+    """Can the Pallas path handle this bucket?  Small buckets keep the
+    whole bitplane set in VMEM; larger ones use the tiled kernel
+    (checkpointed carries + per-tile refill during traceback)."""
+    W = Q // 32
+    if T * W <= 9216:
+        return Q <= MAX_PALLAS_Q
+    return Q <= 2048 and _pick_tile(Q, T) >= 8
+
+
+def _make_kernel_tiled(Q: int, T: int, TT: int, W: int, G: int):
+    """Myers fill + traceback with T tiled into T/TT column tiles.
+
+    VMEM holds bitplanes for ONE tile only; Pv/Mv carries are
+    checkpointed at tile starts during the fill, and the traceback
+    restores each tile's carry and re-fills its planes before walking
+    its columns (classic checkpoint/recompute: ~2x fill work, O(T/TT)
+    carry memory).  This covers buckets whose full bitplane set
+    (T * W rows) exceeds VMEM — large-query gaps up to Q=2048."""
+    NT = T // TT
+
+    def kernel(peq_ref, ts_ref, ql_ref, tl_ref, shw_ref, w64_ref, cap_ref,
+               bmask_ref, dist_ref, end_ref, lead_ref, colcode_ref,
+               pv_plane, ph_plane, carry_buf):
+        u0 = jnp.uint32(0)
+        u1 = jnp.uint32(1)
+        uF = jnp.uint32(0xFFFFFFFF)
+        i0 = jnp.int32(0)
+        i1 = jnp.int32(1)
+        op_match = jnp.int32(OP_MATCH)
+        op_delete = jnp.int32(OP_DELETE)
+        op_mismatch = jnp.int32(OP_MISMATCH)
+        ql = ql_ref[0:1, :]
+        tl = tl_ref[0:1, :]
+        shw = shw_ref[0:1, :]
+        w64 = w64_ref[0:1, :]
+        neg1_cap = cap_ref[0:1, :]
+
+        PEQ = [[peq_ref[c * W + w : c * W + w + 1, :] for w in range(W)]
+               for c in range(5)]
+        BM = [bmask_ref[w : w + 1, :] for w in range(W)]
+
+        def sel_eq(tchar, w):
+            eq = PEQ[0][w]
+            for c in range(1, 5):
+                eq = jnp.where(tchar == c, PEQ[c][w], eq)
+            return eq
+
+        def col_step(c, c_loc, Pv, Mv, track_bits):
+            """One Myers column at global column c, planes written at
+            local tile offset c_loc.  Returns (Pv2, Mv2, pb, mb)."""
+            tchar = ts_ref[pl.ds(c, 1), :]
+            hin = jnp.ones((1, G), jnp.int32)
+            Pv2 = [None] * W
+            Mv2 = [None] * W
+            pb = jnp.zeros((1, G), jnp.int32)
+            mb = jnp.zeros((1, G), jnp.int32)
+            for w in range(W):
+                eq = sel_eq(tchar, w)
+                hin_pos = jnp.where(hin > 0, u1, u0)
+                hin_neg = jnp.where(hin < 0, u1, u0)
+                pv, mv = Pv[w], Mv[w]
+                xv = eq | mv
+                eq2 = eq | hin_neg
+                xh = (((eq2 & pv) + pv) ^ pv) | eq2
+                ph = mv | ~(xh | pv)
+                mh = pv & xh
+                msb = jnp.uint32(0x80000000)
+                hout = jnp.where((ph & msb) != 0, i1, i0) - jnp.where(
+                    (mh & msb) != 0, i1, i0
+                )
+                ph_s = (ph << 1) | hin_pos
+                mh_s = (mh << 1) | hin_neg
+                pv_o = mh_s | ~(xv | ph_s)
+                mv_o = ph_s & xv
+                Pv2[w] = pv_o
+                Mv2[w] = mv_o
+                pv_plane[pl.ds(c_loc * W + w, 1), :] = pv_o
+                ph_plane[pl.ds(c_loc * W + w, 1), :] = ph
+                if track_bits:
+                    pb = pb | jnp.where((ph & BM[w]) != 0, i1, i0)
+                    mb = mb | jnp.where((mh & BM[w]) != 0, i1, i0)
+                hin = hout
+            return tuple(Pv2), tuple(Mv2), pb, mb
+
+        # ---- fill with per-tile carry checkpoints ----
+        def fill_body(carry):
+            c, ub, Pv, Mv, score, dist, best, best_end, neg1 = carry
+            tile = c // jnp.int32(TT)
+            c_loc = c - tile * jnp.int32(TT)
+
+            @pl.when(c_loc == 0)
+            def _():
+                base = tile * jnp.int32(2 * W)
+                for w in range(W):
+                    carry_buf[pl.ds(base + w, 1), :] = Pv[w]
+                    carry_buf[pl.ds(base + W + w, 1), :] = Mv[w]
+
+            Pv2, Mv2, pb, mb = col_step(c, c_loc, Pv, Mv, True)
+            score = score + pb - mb
+            dist = jnp.where(c == tl - 1, score, dist)
+            in_range = c < tl
+            upd = in_range & (score < best)
+            best_end = jnp.where(upd, c, best_end)
+            best = jnp.where(upd, score, best)
+            j = c + i1
+            neg1 = jnp.where(in_range & (j <= neg1_cap),
+                             jnp.minimum(neg1, score + j), neg1)
+            return (j, ub, Pv2, Mv2, score, dist, best, best_end, neg1)
+
+        Pv0 = tuple(jnp.full((1, G), uF) for _ in range(W))
+        Mv0 = tuple(jnp.full((1, G), u0) for _ in range(W))
+        init = (
+            i0, jnp.int32(T), Pv0, Mv0, ql,
+            jnp.full((1, G), INT32_MAX),
+            jnp.full((1, G), INT32_MAX),
+            jnp.full((1, G), np.int32(-2)),
+            jnp.where(w64 >= 1, ql, INT32_MAX),
+        )
+        (_, _, _, _, _, nw_dist, best, best_end, neg1) = jax.lax.while_loop(
+            lambda st: st[0] < st[1], fill_body, init
+        )
+
+        use_neg1 = (w64 >= 1) & (neg1 <= best)
+        shw_dist = jnp.where(use_neg1, neg1,
+                             jnp.where(best_end == -2, ql, best))
+        shw_end = jnp.where(use_neg1 | (best_end == -2), np.int32(-1),
+                            best_end)
+        is_shw = shw != 0
+        dist = jnp.where(is_shw, shw_dist, nw_dist)
+        end = jnp.where(is_shw, shw_end, tl - 1)
+        dist_ref[0:1, :] = dist
+        end_ref[0:1, :] = end
+
+        # ---- traceback: per tile (reverse): restore carry, refill the
+        # tile's planes, then walk its columns ----
+        def tb_col(c, c_loc, r):
+            active = c <= end
+            p = jnp.full((1, G), np.int32(-1))
+            for w in range(W):
+                v = pv_plane[pl.ds(c_loc * W + w, 1), :]
+                rel = r - 32 * w
+                relc = pltpu.bitcast(jnp.clip(rel, i0, jnp.int32(30)),
+                                     jnp.uint32)
+                mask = jnp.where(
+                    rel < 0, u0,
+                    jnp.where(rel >= 31, uF, (u1 << (relc + 1)) - u1),
+                )
+                z = (~v) & mask
+                hb = 31 - pltpu.bitcast(jax.lax.clz(z), jnp.int32)
+                p = jnp.maximum(p, jnp.where(z != 0, 32 * w + hb,
+                                             np.int32(-1)))
+            run = r - p
+            rw = jnp.maximum(p, i0) >> 5
+            rb = pltpu.bitcast(jnp.maximum(p, i0) & 31, jnp.uint32)
+            tchar = ts_ref[pl.ds(c, 1), :]
+            leftb = jnp.zeros((1, G), jnp.int32)
+            eqb = jnp.zeros((1, G), jnp.int32)
+            for w in range(W):
+                lw = ph_plane[pl.ds(c_loc * W + w, 1), :]
+                eqw = sel_eq(tchar, w)
+                selw = rw == w
+                leftb = jnp.where(
+                    selw & (((lw >> rb) & u1) != 0), i1, leftb
+                )
+                eqb = jnp.where(
+                    selw & (((eqw >> rb) & u1) != 0), i1, eqb
+                )
+            is_del = (p < 0) | (leftb == 1)
+            mv = jnp.where(
+                is_del, op_delete,
+                jnp.where(eqb == 1, op_match, op_mismatch),
+            )
+            code = jnp.where(active, mv | (run << 2), i0)
+            colcode_ref[pl.ds(c, 1), :] = code
+            return jnp.where(active, jnp.where(is_del, p, p - i1), r)
+
+        def tile_body(carry):
+            tt_i, ntc, r = carry
+            tile = jnp.int32(NT - 1) - tt_i
+            t0 = tile * jnp.int32(TT)
+            base = tile * jnp.int32(2 * W)
+            Pv = tuple(carry_buf[pl.ds(base + w, 1), :] for w in range(W))
+            Mv = tuple(carry_buf[pl.ds(base + W + w, 1), :]
+                       for w in range(W))
+
+            def refill_body(st):
+                cl, ub2, Pv, Mv = st
+                Pv2, Mv2, _, _ = col_step(t0 + cl, cl, Pv, Mv, False)
+                return (cl + i1, ub2, Pv2, Mv2)
+
+            jax.lax.while_loop(
+                lambda st: st[0] < st[1], refill_body,
+                (i0, jnp.int32(TT), Pv, Mv),
+            )
+
+            def walk_body(st):
+                k, ub2, r = st
+                c_loc = jnp.int32(TT - 1) - k
+                r = tb_col(t0 + c_loc, c_loc, r)
+                return (k + i1, ub2, r)
+
+            _, _, r = jax.lax.while_loop(
+                lambda st: st[0] < st[1], walk_body,
+                (i0, jnp.int32(TT), r),
+            )
+            return (tt_i + i1, ntc, r)
+
+        _, _, r_fin = jax.lax.while_loop(
+            lambda st: st[0] < st[1], tile_body,
+            (i0, jnp.int32(NT), ql - 1),
+        )
+        lead_ref[0:1, :] = r_fin + 1
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnums=(5, 6),
                    static_argnames=("interpret",))
 def gap_align_pl(qs, ql, ts, tl, is_shw, Q: int, T: int,
@@ -248,10 +478,20 @@ def gap_align_pl(qs, ql, ts, tl, is_shw, Q: int, T: int,
     """Pallas-backed batched NW/SHW alignment; same inputs as
     gap_dp.gap_align, output as per-column run/move codes (GapColsResult).
     Exact vs the jnp kernel / host oracle (tests/test_gap_dp_pallas.py)."""
-    assert Q % 32 == 0 and Q <= MAX_PALLAS_Q
+    assert Q % 32 == 0 and supports(Q, T)
     G = qs.shape[0]
     W = Q // 32
-    GT = _g_tile(Q, T, G)
+    tiled = T * W > 9216
+    if tiled:
+        TT = _pick_tile(Q, T)
+        NT = T // TT
+        per_lane = 2 * TT * W * 4 + T * 8 + NT * 2 * W * 4
+        GT = 128
+        while GT * 2 * per_lane <= _VMEM_PLANE_BUDGET and GT * 2 <= G:
+            GT *= 2
+        GT = min(GT, G)
+    else:
+        GT = _g_tile(Q, T, G)
     assert G % GT == 0
 
     ql = ql.astype(jnp.int32)
@@ -276,8 +516,21 @@ def gap_align_pl(qs, ql, ts, tl, is_shw, Q: int, T: int,
     zero = np.int32(0)
     vspec = lambda rows: pl.BlockSpec((rows, GT), lambda i: (zero, i),
                                       memory_space=pltpu.VMEM)
+    if tiled:
+        kern = _make_kernel_tiled(Q, T, TT, W, GT)
+        scratch = [
+            pltpu.VMEM((TT * W, GT), jnp.uint32),
+            pltpu.VMEM((TT * W, GT), jnp.uint32),
+            pltpu.VMEM((NT * 2 * W, GT), jnp.uint32),
+        ]
+    else:
+        kern = _make_kernel(Q, T, W, GT)
+        scratch = [
+            pltpu.VMEM((T * W, GT), jnp.uint32),
+            pltpu.VMEM((T * W, GT), jnp.uint32),
+        ]
     out = pl.pallas_call(
-        _make_kernel(Q, T, W, GT),
+        kern,
         grid=grid,
         in_specs=[
             vspec(5 * W),   # peq
@@ -292,10 +545,7 @@ def gap_align_pl(qs, ql, ts, tl, is_shw, Q: int, T: int,
             jax.ShapeDtypeStruct((1, G), jnp.int32),  # lead
             jax.ShapeDtypeStruct((T, G), jnp.int32),  # colcode
         ],
-        scratch_shapes=[
-            pltpu.VMEM((T * W, GT), jnp.uint32),
-            pltpu.VMEM((T * W, GT), jnp.uint32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(peq, ts_t, row2(ql), row2(tl),
       row2(jnp.asarray(is_shw).astype(jnp.int32)), row2(w64), row2(cap),

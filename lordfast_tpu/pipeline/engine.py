@@ -365,7 +365,7 @@ class MappingEngine:
                     desc["is_shw"][gi] = shw
                     desc["valid"][gi] = True
                 t_d = time.time()
-                if self._gap_pallas and Q <= gap_dp_pallas.MAX_PALLAS_Q:
+                if self._gap_pallas and gap_dp_pallas.supports(Q, T):
                     res = gap_dp_pallas.gap_align_from_desc_pl(
                         self.arrs["pac_words"], reads_dev, desc, Q, T,
                         self.meta["l_pac"],
