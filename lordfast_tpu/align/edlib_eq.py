@@ -6,6 +6,13 @@
 ``shw_path``     — SHW with path: edlib computes the NW path over
                    target[0..end] (edlib.cpp:196-209)
 ``ksw_extend2``  — ksw_extend2 (lib/bwa/ksw.c:380-479) equivalent
+
+Provenance: the numpy fallbacks ``_ksw_extend2_np`` and ``ksw_global2``
+are transcriptions of the reference's scalar ksw.c loops (ksw.c:380-479
+and :504-606 respectively) — kept deliberately close because their job
+is bit-exact oracle semantics, including int-truncation and the
+direction-bit conventions of the BAM CIGAR builder.  The device kernels
+(ops/affine_pl.py, ops/gap_dp_pallas.py) are original TPU-first designs.
 """
 
 from __future__ import annotations
@@ -185,7 +192,7 @@ def _ksw_extend2_np(q, t, mat, o_del, e_del, o_ins, e_ins, w, end_bonus,
             M = M + int(hrow[j]) if M else 0
             h = max(M, e, f)
             h1 = h
-            if rmax < h:
+            if rmax <= h:  # ksw.c:437: ties move mj to the LAST j
                 rmax, rmax_j = h, j
             tmp = max(M - oe_del, 0)
             e = max(e - e_del, tmp)

@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunkSize", type=int, default=0, metavar="BYTES",
                    help="read-chunk size (default 100 MB, the reference's "
                         "bound, src/baseFAST.cpp:59)")
+    p.add_argument("--exportBwa", action="store_true",
+                   help="with --index: also write the reference-"
+                        "compatible .bwt/.sa/.pac/.ann/.amb/.cache file "
+                        "set next to REF (index/bwa_io.py)")
     return p
 
 
@@ -160,6 +164,12 @@ def main(argv=None) -> int:
 
         idx = build_index(args.index, cfg)
         save_index(idx, index_path_for(args.index))
+        if args.exportBwa:
+            from .index.bwa_io import save_bwa_index
+
+            save_bwa_index(idx, args.index)
+            print(f"[NOTE] wrote reference-compatible index files next to "
+                  f"{args.index}", file=sys.stderr)
         return 0
 
     if not args.seq:
@@ -175,10 +185,19 @@ def main(argv=None) -> int:
     try:
         idx = load_index(ipath)
     except FileNotFoundError:
-        print(f"[WARNING] could not locate index file: {ipath}; building",
-              file=sys.stderr)
-        idx = build_index(args.search, cfg)
-        save_index(idx, ipath)
+        # fall back to a reference-built on-disk index (bwa files) before
+        # rebuilding — mirrors bwt_load's reuse (src/BWT.cpp:189-242)
+        from .index.bwa_io import bwa_files_present, load_bwa_index
+
+        if bwa_files_present(args.search):
+            print(f"[NOTE] loading reference-format index files for "
+                  f"{args.search}", file=sys.stderr)
+            idx = load_bwa_index(args.search, cfg)
+        else:
+            print(f"[WARNING] could not locate index file: {ipath}; "
+                  f"building", file=sys.stderr)
+            idx = build_index(args.search, cfg)
+            save_index(idx, ipath)
 
     # ---- multi-host setup (parallel/multihost.py) ----
     import os as _os

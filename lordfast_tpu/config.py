@@ -117,8 +117,11 @@ class LordfastConfig:
     # tail buckets catch end extensions and sparse-chain windows)
     # The asymmetric buckets catch SV-deletion-shaped gaps (tiny query,
     # kilobase target) in the Pallas kernel: Myers VMEM cost scales with
-    # T * (Q/32), so a narrow-query bucket affords a deep target.  The
-    # final (2048, 2176) bucket (large-query gaps) runs the jnp kernel.
+    # T * (Q/32), so a narrow-query bucket affords a deep target.
+    # Buckets whose bitplane set exceeds VMEM (T*(Q/32) > 9216 rows, e.g.
+    # the (2048, 2176) large-query bucket) run the tiled Pallas kernel
+    # (checkpoint/recompute, gap_dp_pallas._make_kernel_tiled) on TPU and
+    # the jnp kernel elsewhere.
     gap_buckets: tuple = ((32, 48, 4096), (64, 96, 2048),
                           (128, 160, 1024), (256, 320, 512),
                           (512, 576, 256), (32, 4096, 512),

@@ -16,8 +16,16 @@
 //    positions.  Used for the clip / split escalation paths
 //    (src/LordFAST.cpp:1848, 1971).
 //
-// Written from the published algorithms; independent of the reference's
-// SSE2/bit-parallel implementations.
+// Provenance: nw_align/shw_best_end are written from the published Myers /
+// Needleman-Wunsch algorithms, independent of edlib's bit-parallel
+// implementation.  sw_extend, by contrast, deliberately follows the scalar
+// loop structure of ksw_extend2 (lib/bwa/ksw.c:380-479) statement by
+// statement: its job is to be a bit-exact host oracle for that function
+// (including the (int)((double)...+1.) band truncation and the z-drop /
+// interval-shrink timing), and any faithful implementation converges to
+// that ~100-line loop.  The TPU compute path (ops/affine_pl.py) is an
+// original band-relative / prefix-max design that shares none of this
+// structure.
 
 #include <cstdint>
 #include <cstdlib>
@@ -244,7 +252,10 @@ int32_t sw_extend(int32_t qlen, const uint8_t* query, int32_t tlen,
       int32_t h = M > e ? M : e;
       h = h > f ? h : f;
       h1 = h;
-      if (row_max < h) {
+      // ksw.c:437 `mj = m > h? mj : j`: on ties row_max_j moves to the
+      // LAST j achieving the running max (incl. h == row_max == 0, where
+      // the reference also records j; unused there since m==0 breaks)
+      if (row_max <= h) {
         row_max = h;
         row_max_j = j;
       }

@@ -30,8 +30,8 @@ lane-dimension dynamic slices to be 128-aligned).
   band reproduces the scalar values; the h0-decay first row, the
   frontier H[end]=h1 / E[end]=0 writes, the beg==0 h1 rule, the
   latest-row gscore tie rule (including the empty-row j==qlen case), the
-  FIRST-j row-max rule, z-drop timing and the row_max==0 break are all
-  replicated as masked updates.
+  LAST-j row-max tie rule (ksw.c:437 `mj = m > h? mj : j`), z-drop
+  timing and the row_max==0 break are all replicated as masked updates.
 - Per-problem parameters (gap costs, band width, zdrop, h0, match /
   mismatch) ride per-lane vectors, so clip-mode (band 40) and split-mode
   (band 100) problems batch into one call.  The per-problem band width
@@ -151,10 +151,12 @@ def _make_kernel(Qe: int, Te: int, BW: int, G: int, w_max: int):
             h = jnp.maximum(jnp.maximum(M, Eband), f)
             h = jnp.where(in_band, h, i0)
             # row stats over the computed interval (scalar row_max starts
-            # at 0; row_max_j is the FIRST j with h == row_max > 0)
+            # at 0; ksw.c:437 `mj = m > h? mj : j` moves row_max_j to the
+            # LAST j achieving the running max, i.e. the last argmax)
             rm = jnp.max(h, axis=0, keepdims=True)
-            rmj = jnp.min(
-                jnp.where(in_band & (h == rm) & (rm > 0), j_mat, big),
+            rmj = jnp.max(
+                jnp.where(in_band & (h == rm) & (rm > 0), j_mat,
+                          jnp.int32(-1)),
                 axis=0, keepdims=True,
             )
             # gscore: scalar checks `j == qlen` after the loop, where

@@ -571,8 +571,14 @@ def _decode_native(colcode_tg, end, lead):
     col = np.ascontiguousarray(colcode_tg.T[:g], dtype=np.uint16)
     ends = np.ascontiguousarray(end, dtype=np.int64)
     leads = np.ascontiguousarray(lead, dtype=np.int64)
-    # worst case: lead + per column (1 + run), runs sum to <= Q per gap
-    cap = int(leads.sum() + ends.clip(0).sum() + g + (MAX_PALLAS_Q + 1) * g)
+    # exact size: lead inserts + one move per emitted column + the insert
+    # runs encoded in the codes themselves (columns past `end` are zeroed
+    # by the kernel, so a full-row sum is the true run total).  Computed
+    # from the data, not MAX_PALLAS_Q: the tiled path accepts Q up to
+    # 2048, where a constant-based cap could under-size the buffer and
+    # silently drop to the slow numpy decode.
+    total_runs = int((col.astype(np.int64) >> 2).sum())
+    cap = int(leads.sum() + (ends + 1).clip(0).sum() + total_runs)
     cap = max(cap, 64)
     out = np.empty(cap, np.uint8)
     offs = np.empty(g, np.int64)

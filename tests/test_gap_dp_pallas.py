@@ -87,6 +87,48 @@ def test_pallas_word_boundaries_vs_jnp(rng):
             )
 
 
+def test_pallas_tiled_path_vs_jnp(rng):
+    # Force the checkpoint/recompute tiled kernel (_make_kernel_tiled):
+    # Q=512, T=592 -> T*W = 9472 > 9216, _pick_tile -> TT=16.  This is
+    # the path the big gap buckets (e.g. (2048, 2176)) take on TPU; the
+    # non-tiled tests above never reach it.
+    Q, T = 512, 592
+    assert gp.supports(Q, T) and T * (Q // 32) > 9216
+    G = 8
+    pairs = []
+    for g in range(G):
+        ql_g = int(rng.integers(Q - 120, Q + 1))
+        tl_g = int(rng.integers(T - 120, T + 1))
+        q = rng.integers(0, 4, ql_g).astype(np.uint8)
+        # correlated target: mutate a copy so paths are nontrivial
+        t = q[:tl_g].copy() if tl_g <= ql_g else np.concatenate(
+            [q, rng.integers(0, 4, tl_g - ql_g).astype(np.uint8)]
+        )
+        nmut = max(1, int(0.1 * len(t)))
+        sites = rng.integers(0, len(t), nmut)
+        t[sites] = rng.integers(0, 4, nmut)
+        pairs.append((q, t))
+    modes = [g % 2 == 1 for g in range(G)]
+    dist, end, moves = _run(pairs, modes, Q, T)
+    qs = np.zeros((G, Q), np.uint8)
+    ts = np.zeros((G, T), np.uint8)
+    ql = np.zeros(G, np.int32)
+    tl = np.zeros(G, np.int32)
+    for g, (q, t) in enumerate(pairs):
+        qs[g, : len(q)] = q
+        ts[g, : len(t)] = t
+        ql[g], tl[g] = len(q), len(t)
+    ref = gap_dp.gap_align(qs, ql, ts, tl, np.asarray(modes, bool), Q, T)
+    ref_moves = gap_dp.unpack_moves(np.asarray(ref.moves_packed),
+                                    np.asarray(ref.mlen))
+    np.testing.assert_array_equal(dist, np.asarray(ref.dist))
+    np.testing.assert_array_equal(end, np.asarray(ref.end))
+    for g in range(G):
+        np.testing.assert_array_equal(
+            moves[g], ref_moves[g], err_msg=f"tiled gap {g} path mismatch"
+        )
+
+
 def test_pallas_negative_end_artifact():
     q = np.array([0], np.uint8)
     t = np.array([1, 1, 1], np.uint8)
