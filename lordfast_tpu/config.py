@@ -95,14 +95,22 @@ class LordfastConfig:
     # allocates SAMPLING_COUNT*MAX_REF_HITS per-thread seed buffers; we
     # bound the padded per-read seed tensor instead) ----
     max_seeds_per_read: int = 4096  # flat (tPos,qPos,len) slots per strand
-    # staged anchor extension (ops/fm_index.py): run phase1_steps, compact
-    # the still-alive lanes to BS/compact_frac, and repeat with /3 smaller
-    # caps until the tail runs to completion
-    seed_phase1_steps: int = 12
-    seed_compact_frac: int = 3
+    # staged anchor extension (ops/fm_index.py): run phase1_steps, resolve
+    # occ==1 lanes by direct text comparison, compact the remaining alive
+    # lanes to BS/compact_frac, and repeat with /3 smaller caps until the
+    # tail runs to completion.  (6, 16) measured fastest on the v5e chip
+    # (802 ms vs 1078 ms for (12, 3) over three 128-read batches); the
+    # occ==1 resolution is what makes the early compaction safe
+    seed_phase1_steps: int = 6
+    seed_compact_frac: int = 16
     max_candidates: int = 32        # windows chained in fine mode per read
     compact_windows_per_read: int = 8  # avg chaining slots per read (K = B*this)
     max_chain_seeds: int = 512      # seeds entering the chaining DP / window
+    # chaining DP bucketing (ops/chain.py _chain_bucketed): every window
+    # runs a chain_small_n-wide DP; only the top chain_big_windows by
+    # seed count also run the full max_chain_seeds-wide DP (exact merge)
+    chain_small_n: int = 64
+    chain_big_windows: int = 128
     chain_transfer_cap: int = 160   # chain slots copied to host eagerly
     # reads per device batch: on tunneled backends per-dispatch overhead
     # dominates small batches; 128 measured ~20% faster end-to-end than

@@ -119,28 +119,37 @@ class FMIndex:
     def host_arrays(self) -> dict:
         """The search-path arrays as host numpy, in device layout.
 
-        ``pac_words`` is the forward genome re-packed 16 bases/uint32 for
-        device gap-DP reference fetches.  When the fused rank row fits
-        (see below) the redundant ``occ_cp``/``bwt_blocks`` pair is
-        omitted (the kernels use one layout or the other).
+        ``pac_words`` is the full fwd+revcomp text re-packed 16 bases/
+        uint32 — positions < l_pac are the forward genome (gap-DP
+        reference fetches); the revcomp half serves the seeder's occ==1
+        direct-comparison fast path.  When the fused rank row fits (see
+        below) the redundant ``occ_cp``/``bwt_blocks`` pair is omitted
+        (the kernels use one layout or the other).
         """
         from ..utils.pack import pack_bwt_words, unpack_pac
 
         pdt = self.pos_dtype
         fwd_codes = unpack_pac(self.pac, 0, self.l_pac)
         bwt_blocks = self.bwt_words.reshape(-1, 8)
+        # pac_words holds the FULL text fwd + revcomp(fwd) (bntseq.c:
+        # 301-307), 16 codes per uint32.  Positions < l_pac read forward-
+        # genome codes (what the gap-DP gathers use); the revcomp half
+        # lets the seeder's occ==1 fast path compare the pattern against
+        # the text directly at any mirror-space position.
+        text_codes = np.concatenate([fwd_codes, 3 - fwd_codes[::-1]])
         arrs = {
             "bwt_words": self.bwt_words,
             "sa_samp": self.sa_samp.astype(pdt),
             "kcache_beg": self.kcache_beg.astype(pdt),
             "kcache_end": self.kcache_end.astype(pdt),
             "L2": self.L2.astype(pdt),
-            "pac_words": pack_bwt_words(fwd_codes),
+            "pac_words": pack_bwt_words(text_codes),
             "contig_offsets": self.contig_offsets.astype(pdt),
             "contig_ends": (
                 self.contig_offsets + self.contig_lengths
             ).astype(pdt),
         }
+        del text_codes
         # Fused rank row: [cp(A..T) | 8 BWT words] as one (n_blocks, 12)
         # uint32 array, so a rank query is a single 48-byte row gather
         # instead of two (checkpoint + block words).  Per-char counts fit

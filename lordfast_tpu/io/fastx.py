@@ -31,9 +31,104 @@ def _open(path):
     return open(path, "rb", buffering=1 << 20)
 
 
+def _fast_fastq4(data: bytes, at_eof: bool):
+    """Vectorized parse of uniform 4-line FASTQ records.
+
+    Returns (reads, consumed) or None when the block is not plain 4-line
+    FASTQ (wrapped sequences, FASTA, etc.) — the caller then falls back
+    to the kseq state machine.  Line splitting and format checks are
+    numpy over the whole block; Python touches each record once to slice
+    it out (the reference's kseq walks every byte in C,
+    lib/bwa/kseq.h:239; this is the numpy equivalent of that hot loop).
+    """
+    import numpy as np
+
+    arr = np.frombuffer(data, np.uint8)
+    nl = np.flatnonzero(arr == 10)
+    n_rec = len(nl) // 4
+    if n_rec == 0:
+        return None
+    nl4 = nl[: n_rec * 4]
+    starts = np.empty(n_rec * 4, np.int64)
+    starts[0] = 0
+    starts[1:] = nl4[:-1] + 1
+    ends = nl4 - (arr[np.maximum(nl4 - 1, 0)] == 13)  # tolerate CRLF
+    s = starts.reshape(n_rec, 4)
+    e = ends.reshape(n_rec, 4)
+    ok = (
+        (arr[s[:, 0]] == ord("@")).all()
+        and (arr[s[:, 2]] == ord("+")).all()
+        and ((e[:, 3] - s[:, 3]) == (e[:, 1] - s[:, 1])).all()
+        and int((e - s).min()) > 0 - 1  # no negative lengths
+    )
+    if not ok:
+        return None
+    reads = []
+    for i in range(n_rec):
+        name = data[s[i, 0] + 1 : e[i, 0]].split(None, 1)[0].decode()
+        reads.append(Read(name, data[s[i, 1] : e[i, 1]],
+                          data[s[i, 3] : e[i, 3]]))
+    consumed = int(nl4[-1]) + 1
+    if not at_eof:
+        return reads, consumed
+    # trailing bytes after the last complete group must themselves be a
+    # well-formed tail; let the fallback handle any remainder
+    return reads, consumed
+
+
 def read_fastx(path) -> Iterator[Read]:
-    """Yield reads one by one."""
+    """Yield reads one by one.  Plain 4-line FASTQ takes a vectorized
+    numpy fast path; anything else (FASTA, wrapped/multi-line records)
+    uses the kseq-semantics state machine below."""
+    BLOCK = 64 << 20
     with _open(path) as f:
+        head = f.peek(1)[:1] if hasattr(f, "peek") else b""
+        if head == b"@":
+            rem = b""
+            fast_failed = False
+            while not fast_failed:
+                block = f.read(BLOCK)
+                if not block:
+                    if rem.strip():
+                        fast_failed = True  # tail needs the state machine
+                    break
+                data = rem + block
+                at_eof = len(block) < BLOCK
+                got = _fast_fastq4(data, at_eof)
+                if got is None:
+                    fast_failed = True
+                    rem = data
+                    break
+                reads, consumed = got
+                yield from reads
+                rem = data[consumed:]
+            if not fast_failed:
+                return
+            # fall back: re-parse the unconsumed remainder + rest of file
+            yield from _read_fastx_slow_bytes(rem, f)
+            return
+        yield from _read_fastx_slow(f)
+
+
+def _read_fastx_slow_bytes(rem: bytes, f) -> Iterator[Read]:
+    import io as _io
+
+    class _Chain:
+        def __init__(self, a, b):
+            self._a = _io.BytesIO(a)
+            self._b = b
+
+        def readline(self):
+            line = self._a.readline()
+            if line:
+                return line
+            return self._b.readline()
+
+    yield from _read_fastx_slow(_Chain(rem, f))
+
+
+def _read_fastx_slow(f) -> Iterator[Read]:
+    if True:
         first = f.peek(1)[:1] if hasattr(f, "peek") else b""
         if not first:
             first = b""

@@ -240,9 +240,63 @@ def chain_seeds(ws: WindowSeeds, cfg) -> ChainBatch:
     call sites src/LordFAST.cpp:1030-1050,1119-1135)."""
     from ..config import ChainAlg
 
-    if cfg.chain_alg == ChainAlg.CLASP:
-        return chain_clasp_sop(ws, cfg)
-    return chain_dpn2(ws, cfg)
+    fn = (chain_clasp_sop if cfg.chain_alg == ChainAlg.CLASP
+          else chain_dpn2)
+    return _chain_bucketed(ws, cfg, fn)
+
+
+def _tree_map_ws(ws: WindowSeeds, f) -> WindowSeeds:
+    return WindowSeeds(
+        q_pos=f(ws.q_pos), t_pos=f(ws.t_pos), length=f(ws.length),
+        valid=f(ws.valid), n_in_range=ws.n_in_range,
+    )
+
+
+def _chain_bucketed(ws: WindowSeeds, cfg, dp_fn) -> ChainBatch:
+    """Route windows to a narrow or wide chaining DP by seed count.
+
+    The O(n^2) DP costs N^2 per window at the padded width N
+    (= cfg.max_chain_seeds, 512), but most windows hold far fewer seeds
+    (their valid seeds occupy the first slots: select_window_seeds sorts
+    invalid entries to the end).  Run a cheap N_small-wide DP over EVERY
+    window plus the full-width DP over only the top `big_k` windows by
+    seed count; merge.  Both kernels are the exact same DP, so results
+    are identical to the unbucketed version wherever each is complete —
+    and a lax.cond falls back to the full DP for the whole batch in the
+    (pathological) case that more than big_k windows exceed N_small.
+    ~7x less DP work at bench shapes (1024 windows x 512 slots)."""
+    lead = ws.q_pos.shape[:-1]
+    N = ws.q_pos.shape[-1]
+    NS = min(getattr(cfg, "chain_small_n", 64), N)
+    if len(lead) != 1 or N <= NS:
+        return dp_fn(ws, cfg)
+    W = lead[0]
+    big_k = min(getattr(cfg, "chain_big_windows", 128), W)
+    count = ws.valid.sum(axis=-1).astype(jnp.int32)
+
+    small = dp_fn(_tree_map_ws(ws, lambda a: a[:, :NS]), cfg)
+    _, bigsel = jax.lax.top_k(count, big_k)
+    big = dp_fn(_tree_map_ws(ws, lambda a: a[bigsel]), cfg)
+
+    def merged(_):
+        pad = [(0, 0), (0, N - NS)]
+        out = ChainBatch(
+            q_pos=jnp.pad(small.q_pos, pad),
+            t_pos=jnp.pad(small.t_pos, pad),
+            length=jnp.pad(small.length, pad),
+            chain_len=small.chain_len,
+            score=small.score,
+        )
+        return ChainBatch(
+            q_pos=out.q_pos.at[bigsel].set(big.q_pos),
+            t_pos=out.t_pos.at[bigsel].set(big.t_pos),
+            length=out.length.at[bigsel].set(big.length),
+            chain_len=out.chain_len.at[bigsel].set(big.chain_len),
+            score=out.score.at[bigsel].set(big.score),
+        )
+
+    covered = (count > NS).sum() <= big_k
+    return jax.lax.cond(covered, merged, lambda _: dp_fn(ws, cfg), None)
 
 
 def chain_dpn2(ws: WindowSeeds, cfg) -> ChainBatch:
@@ -283,7 +337,8 @@ def chain_dpn2(ws: WindowSeeds, cfg) -> ChainBatch:
 
     dp0 = jnp.full((W, N), -jnp.inf, fdt)
     prev0 = jnp.full((W, N), -1, jnp.int32)
-    (dp, prev), _ = jax.lax.scan(step, (dp0, prev0), jnp.arange(N))
+    (dp, prev), _ = jax.lax.scan(step, (dp0, prev0), jnp.arange(N),
+                                 unroll=8)
     return _finish_chains(ws, dp, prev, q, t, ln, ok, lead, W, N)
 
 
@@ -341,5 +396,6 @@ def chain_clasp_sop(ws: WindowSeeds, cfg) -> ChainBatch:
 
     dp0 = jnp.full((W, N), -jnp.inf, fdt)
     prev0 = jnp.full((W, N), -1, jnp.int32)
-    (dp, prev), _ = jax.lax.scan(step, (dp0, prev0), jnp.arange(N))
+    (dp, prev), _ = jax.lax.scan(step, (dp0, prev0), jnp.arange(N),
+                                 unroll=8)
     return _finish_chains(ws, dp, prev, q, t, ln, ok, lead, W, N)

@@ -379,36 +379,167 @@ def _seed_anchors_impl(
         )
         return st[0], st[1], st[2], st[3]
 
-    def staged_ext(alive, k, l, m, posf, bf, caps):
-        """Run `phase1_steps` steps at the current width, then compact the
-        alive lanes to caps[0] and recurse; when more lanes than the cap
-        survive (repeat-rich genomes) finish at the current width instead.
-        The last level runs to completion."""
+    def _resolve_rounds(one, k, m, posf_s, bf_s):
+        """Comparison rounds for a (compacted) lane set; see
+        resolve_one_hits.
+
+        Gather-free formulation: per round each lane touches only two
+        SMALL row gathers (9 consecutive text words, 9 consecutive read
+        words); the per-position extraction is word unpacking (static
+        shifts) + a 16-way static-slice select on the lane's in-word
+        offset — per-element take_along_axis gathers cost ~10x more on
+        TPU than the equivalent unpack-and-select."""
+        p = sa_lookup(arrs, meta, k, one, axis=axis).astype(pdt)
+        CH = 128
+        NW = CH // 16 + 1  # 9 words cover any 128-char window
+        jj = jnp.arange(CH, dtype=jnp.int32)
+        wj = jnp.arange(NW, dtype=pdt)
+        seq_len_c = jnp.asarray(meta["seq_len"], pdt)
+        t_sh = (jnp.uint32(2) * (15 - jnp.arange(16, dtype=jnp.uint32)))
+        r_sh = (jnp.uint64(3) * (15 - jnp.arange(16, dtype=jnp.uint64)))
+
+        def cond(st):
+            return st[2]
+
+        def body(st):
+            m_c, p_c, _, act = st
+            V = m_c.shape[0]
+            # --- text window [p-CH, p), unpacked LSB-pos-last ---
+            # arithmetic shift keeps the in-word offset in [128, 143]
+            # even for p < CH (rows clip; garbage is masked by j < p)
+            base_w = (p_c.astype(pdt) - CH) >> 4
+            rows = jnp.clip(base_w[:, None] + wj[None, :], 0,
+                            (seq_len_c - 1) >> 4)
+            twords = _row_gather(arrs["pac_words"], rows, axis)  # (V, NW)
+            tw = ((twords[:, :, None] >> t_sh[None, None, :]) & 3).astype(
+                jnp.int8).reshape(V, NW * 16)
+            twr = tw[:, ::-1]  # twr[i] = text[base*16 + 143 - i]
+            off = (p_c.astype(pdt) - (base_w << 4)).astype(jnp.int32)
+            s_t = 144 - off  # in [1, 16]
+            tc = jnp.zeros((V, CH), jnp.int8)
+            for st_ in range(1, 17):
+                tc = jnp.where(s_t[:, None] == st_,
+                               jax.lax.slice_in_dim(twr, st_, st_ + CH,
+                                                    axis=1), tc)
+            # --- read window [q0, q0+CH), 3-bit packed u64 words ---
+            q0 = posf_s + m_c
+            base_r = jnp.clip(q0 >> 4, 0, W16 - 1)
+            rrows = jnp.clip(base_r[:, None]
+                             + jnp.arange(NW, dtype=jnp.int32)[None, :],
+                             0, W16 - 1)
+            rwords = rw[bf_s[:, None], rrows]  # (V, NW) u64
+            rwin = ((rwords[:, :, None] >> r_sh[None, None, :])
+                    & jnp.uint64(7)).astype(jnp.int8).reshape(V, NW * 16)
+            offr = (q0 & 15).astype(jnp.int32)  # in [0, 15]
+            rc = jnp.full((V, CH), jnp.int8(4))
+            for sr in range(16):
+                rc = jnp.where(offr[:, None] == sr,
+                               jax.lax.slice_in_dim(rwin, sr, sr + CH,
+                                                    axis=1), rc)
+            in_rd = ((q0[:, None] + jj[None, :]) < read_lens[bf_s][:, None]
+                     ) & (rc < 4)
+            eq = (act[:, None] & in_rd
+                  & (jj[None, :] < jnp.minimum(p_c, CH)[:, None])
+                  & (tc == 3 - rc)
+                  & ((m_c[:, None] + jj[None, :]) < max_ext))
+            all_eq = jnp.all(eq, axis=1)
+            run = jnp.where(all_eq, CH, jnp.argmax(~eq, axis=1)
+                            .astype(jnp.int32))
+            m_c = m_c + run
+            p_c = p_c - run.astype(p_c.dtype)
+            act = act & all_eq
+            return m_c, p_c, _global_any(act, axis), act
+
+        m_f, p_f, _, _ = jax.lax.while_loop(
+            cond, body, (m, p, _global_any(one, axis), one)
+        )
+        return jnp.where(one, m_f, m), jnp.where(one, p_f, 0)
+
+    def resolve_one_hits(alive, k, l, m, posf, bf):
+        """occ==1 fast path: a single-row interval can only shrink to 0,
+        so the rest of the greedy extension is "does the text to the left
+        of the unique occurrence keep matching the (complemented) read" —
+        answered by direct comparison against the packed text instead of
+        one sequential rank query per base.  This collapses the long
+        extension tail (noiseless reads produce kilobase exact matches =
+        thousands of lockstep rank steps) into a few 128-char compare
+        rounds.  The one-hit lanes are compacted to <= R before the
+        (V, 128)-shaped rounds so full-width lanes never pay the compare
+        cost; one-hit lanes beyond R simply stay in the rank-step loop
+        and get picked up at the next level.  Returns (resolved,
+        m_final, p_final): p_final is the occurrence position in mirror
+        space, m_final the final anchor length."""
+        width = m.shape[0]
+        one = alive & (k == l)
+        R = min(width, 16384)
+        if R == width:
+            m_f, p_f = _resolve_rounds(one, k, m, posf, bf)
+            return one, m_f, p_f
+        _, sel = jax.lax.top_k(one.astype(jnp.int32), R)
+        one_s = one[sel]
+        m_s, p_s = _resolve_rounds(one_s, k[sel], m[sel], posf[sel],
+                                   bf[sel])
+        resolved = jnp.zeros_like(one).at[sel].set(one_s)
+        m_f = m.at[sel].set(m_s)
+        p_f = jnp.zeros(width, pdt).at[sel].set(p_s)
+        return resolved, m_f, p_f
+
+    def staged_ext(alive, k, l, m, rpos, rflag, posf, bf, caps):
+        """Run `phase1_steps` steps at the current width, resolve occ==1
+        lanes by direct text comparison, then compact the remaining alive
+        lanes to caps[0] and recurse; when more lanes than the cap
+        survive (repeat-rich genomes) finish at the current width
+        instead.  The last level runs to completion."""
         if not caps:
-            _, k2, l2, m2 = ext_loop_flat(alive, k, l, m, posf, bf)
-            return k2, l2, m2
+            alive, k, l, m = ext_loop_flat(
+                alive, k, l, m, posf, bf, max_steps=phase1_steps
+            )
+            one, m, rp = resolve_one_hits(alive, k, l, m, posf, bf)
+            rpos = jnp.where(one, rp, rpos)
+            rflag = rflag | one
+            _, k2, l2, m2 = ext_loop_flat(alive & ~one, k, l, m, posf, bf)
+            return k2, l2, m2, rpos, rflag
         alive, k, l, m = ext_loop_flat(
             alive, k, l, m, posf, bf, max_steps=phase1_steps
         )
+        one, m, rp = resolve_one_hits(alive, k, l, m, posf, bf)
+        rpos = jnp.where(one, rp, rpos)
+        rflag = rflag | one
+        alive = alive & ~one
         cap = caps[0]
 
         def take(st):
-            a2, k2, l2, m2 = st
+            a2, k2, l2, m2, rpos2, rflag2 = st
             _, sel = jax.lax.top_k(a2.astype(jnp.int32), cap)
-            rk, rl, rm = staged_ext(
-                a2[sel], k2[sel], l2[sel], m2[sel], posf[sel], bf[sel],
-                caps[1:],
+            rk, rl, rm, rrp, rrf = staged_ext(
+                a2[sel], k2[sel], l2[sel], m2[sel], rpos2[sel],
+                rflag2[sel], posf[sel], bf[sel], caps[1:],
             )
-            return k2.at[sel].set(rk), l2.at[sel].set(rl), m2.at[sel].set(rm)
+            return (k2.at[sel].set(rk), l2.at[sel].set(rl),
+                    m2.at[sel].set(rm), rpos2.at[sel].set(rrp),
+                    rflag2.at[sel].set(rrf))
 
         def fall(st):
-            a2, k2, l2, m2 = st
-            _, k3, l3, m3 = ext_loop_flat(a2, k2, l2, m2, posf, bf)
-            return k3, l3, m3
+            # more lanes than the cap survive: step a bounded stretch at
+            # the current width, resolve the occ==1 lanes that emerged,
+            # then finish — so a mis-sized cap degrades gracefully
+            # instead of running kilobase tails at full width
+            a2, k2, l2, m2, rpos2, rflag2 = st
+            a2, k2, l2, m2 = ext_loop_flat(
+                a2, k2, l2, m2, posf, bf, max_steps=4 * phase1_steps
+            )
+            one2, m2, rp2 = resolve_one_hits(a2, k2, l2, m2, posf, bf)
+            rpos2 = jnp.where(one2, rp2, rpos2)
+            rflag2 = rflag2 | one2
+            _, k3, l3, m3 = ext_loop_flat(a2 & ~one2, k2, l2, m2, posf, bf)
+            return k3, l3, m3, rpos2, rflag2
 
-        return jax.lax.cond(alive.sum() <= cap, take, fall, (alive, k, l, m))
+        return jax.lax.cond(alive.sum() <= cap, take, fall,
+                            (alive, k, l, m, rpos, rflag))
 
     m0 = jnp.full((BS,), kc, dtype=jnp.int32)
+    rpos0 = jnp.zeros((BS,), pdt)
+    rflag0 = jnp.zeros((BS,), bool)
     caps = []
     if axis is None:
         # staged compaction takes a data-dependent branch per device;
@@ -418,10 +549,20 @@ def _seed_anchors_impl(
         while c > 512:
             caps.append(max(c, 256))
             c //= 3
-    kf, lf, mf = staged_ext(alive0, k0, l0, m0, pos_f, b_lane, caps)
+    if axis is None:
+        kf, lf, mf, rposf, rflagf = staged_ext(
+            alive0, k0, l0, m0, rpos0, rflag0, pos_f, b_lane, caps
+        )
+    else:
+        # sharded index: plain lockstep loop (collectives per step must
+        # trace identically on every device); no occ==1 fast path
+        _, kf, lf, mf = ext_loop_flat(alive0, k0, l0, m0, pos_f, b_lane)
+        rposf, rflagf = rpos0, rflag0
     kf = kf.reshape(B, S)
     lf = lf.reshape(B, S)
     mf = mf.reshape(B, S)
+    rposf = rposf.reshape(B, S)
+    rflagf = rflagf.reshape(B, S)
 
     occ_cnt = jnp.where(
         alive0.reshape(B, S) & (kf <= lf), (lf - kf + 1).astype(jnp.int32), 0
@@ -468,7 +609,12 @@ def _seed_anchors_impl(
     row = kf[bidx, sidx].astype(pdt) + (slot - starts[bidx, sidx]).astype(pdt)
     row = jnp.where(slot_valid, row, 0)
 
-    p_occ = sa_lookup(arrs, meta, row, slot_valid, axis=axis)
+    # anchors resolved by the occ==1 fast path carry their (already
+    # located) occurrence position; their kf row is stale (it predates
+    # the comparison-resolved extension tail), so skip the SA walk
+    res_f = rflagf[bidx, sidx]
+    p_occ = sa_lookup(arrs, meta, row, slot_valid & ~res_f, axis=axis)
+    p_occ = jnp.where(res_f, rposf[bidx, sidx].astype(pdt), p_occ)
 
     # ---- mirror back to the reference's seed coordinates ----
     m_s = mf[bidx, sidx]

@@ -56,6 +56,18 @@ def device_pipeline(meta, cfg):
     return fn
 
 
+def _need_mask(cands, cfg):
+    """Which candidates need chaining (compact_candidates' criterion,
+    ops/chain.py:59-67)."""
+    C = cands.cnt.shape[1]
+    cidx = jnp.arange(C, dtype=jnp.int32)[None, :]
+    return cands.valid & jnp.where(
+        cands.is_fine[:, None],
+        cands.cnt.astype(jnp.float32) > cands.min_score[:, None],
+        cidx == 0,
+    )
+
+
 def post_seed_stage(arrs, seeds, reads, lens, cfg):
     """Everything after seeding (voting, selection, chaining, host-payload
     trimming) — shared by the replicated and sharded-index pipelines.
@@ -95,8 +107,16 @@ def post_seed_stage(arrs, seeds, reads, lens, cfg):
         ),
         "cand_valid0": cands.valid[:, 0],
         "is_fine": cands.is_fine,
+        # per-read window demand, for overflow detection on the host:
+        # how many candidates qualify for chaining (fine: cnt > minScore,
+        # coarse: the top window; compact_candidates' need mask), and
+        # whether the per-read candidate cap C itself may be truncating
+        # (the last, lowest-vote candidate still qualifies)
+        "cand_need": _need_mask(cands, cfg).sum(axis=1).astype(jnp.int32),
+        "cand_sat": _need_mask(cands, cfg)[:, -1],
         "cw_read_idx": cw.read_idx,
         "cw_cand_idx": cw.cand_idx,
+        "cw_win_id": cw.win_id,
         "cw_is_rev": cw.is_rev,
         "cw_valid": cw.valid,
         "chain_len": chains.chain_len,

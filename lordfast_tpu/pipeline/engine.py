@@ -121,11 +121,13 @@ class MappingEngine:
             self._shard0 = None
             self.arrs = idx.device_arrays()
             self._device_fn = jax.jit(fn)
-        # lazily-built wide-budget pipeline for the compact-overflow retry
-        # (fine-mode reads whose windows ran out of K slots; see
-        # _select_rows / VERDICT r2 weak #5 — the reference chains every
-        # qualifying local max, src/LordFAST.cpp:874-904)
+        # lazily-built wide-budget pipelines for the compact-overflow
+        # retries (fine-mode reads whose windows ran out of K slots; the
+        # reference chains every qualifying local max,
+        # src/LordFAST.cpp:874-904): 8x shared budget first, then a
+        # solo-read pipeline with a 512-window budget
         self._big_fn = None
+        self._solo_fn = None
 
     def _put_reads(self, arr: np.ndarray):
         import jax
@@ -145,35 +147,68 @@ class MappingEngine:
         fn = self._get_big_fn() if big else self._device_fn
         return fn(self.arrs, reads_arr, lens, pos)
 
+    def _make_fn(self, cfg_var):
+        import jax
+
+        from ..parallel.mesh import device_pipeline
+
+        if self._shard_index:
+            from ..parallel.sharded_index import sharded_index_pipeline
+
+            fn, _ = sharded_index_pipeline(
+                self.idx, cfg_var, self.mesh, arrs=self.arrs
+            )
+            return fn
+        fn = device_pipeline(self.meta, cfg_var)
+        if self.mesh is not None:
+            return jax.jit(
+                fn, in_shardings=(None, self._shard0, self._shard0,
+                                  self._shard0),
+            )
+        return jax.jit(fn)
+
     def _get_big_fn(self):
         """Device pipeline with 8x the candidate/compact-window budget,
         compiled on first overflow (rare: repeat-dense reads only)."""
         if self._big_fn is None:
-            import jax
-
-            from ..parallel.mesh import device_pipeline
-
-            cfg_big = self.cfg.replace(
+            self._big_fn = self._make_fn(self.cfg.replace(
                 max_candidates=min(4 * self.cfg.max_candidates, 256),
                 compact_windows_per_read=8
                 * self.cfg.compact_windows_per_read,
-            )
-            if self._shard_index:
-                from ..parallel.sharded_index import sharded_index_pipeline
-
-                self._big_fn, _ = sharded_index_pipeline(
-                    self.idx, cfg_big, self.mesh, arrs=self.arrs
-                )
-            else:
-                fn = device_pipeline(self.meta, cfg_big)
-                if self.mesh is not None:
-                    self._big_fn = jax.jit(
-                        fn, in_shardings=(None, self._shard0, self._shard0,
-                                          self._shard0),
-                    )
-                else:
-                    self._big_fn = jax.jit(fn)
+            ))
         return self._big_fn
+
+    def _solo_retry(self, codes, L):
+        """Last-resort retry for a read whose candidate windows overflow
+        even the 8x shared budget: run it ALONE through a pipeline whose
+        per-read candidate cap and window slots both reach 512, so every
+        qualifying window gets a chaining slot (the reference chains all
+        of them, src/LordFAST.cpp:874-904).  Returns (out, chains_dev)
+        with the read at batch row 0."""
+        import jax
+        import numpy as np
+
+        if self._solo_fn is None:
+            bs = self.mesh.size if self.mesh is not None else 1
+            self._solo_bs = bs
+            self._solo_fn = self._make_fn(self.cfg.replace(
+                max_candidates=512,
+                compact_windows_per_read=512 // bs,
+            ))
+        bs = self._solo_bs
+        arr = np.full((bs, L), 4, dtype=np.uint8)
+        arr[0, : len(codes)] = codes
+        lens = np.zeros(bs, np.int32)
+        lens[0] = len(codes)
+        rd = self._put_reads(arr)
+        pos = fm_ops.sample_positions_host(lens, self.cfg.sampling_count)
+        if self._shard0 is not None:
+            lens_d = jax.device_put(np.asarray(lens), self._shard0)
+            pos = jax.device_put(np.asarray(pos), self._shard0)
+        else:
+            lens_d = lens
+        _, chains, host_out = self._solo_fn(self.arrs, rd, lens_d, pos)
+        return jax.device_get(host_out), chains
 
     # ---- per-read host resolution ----
     def _chain_rows(self, out, chains_dev, k: int, n: int, wide=None):
@@ -231,26 +266,90 @@ class MappingEngine:
         (src/LordFAST.cpp:542-569, 819-904).
 
         Returns (is_fine, selected_rows, overflowed): overflowed = the
-        read had valid candidates but no compact-window slots (K budget
-        exhausted) — the caller retries it through the 8x-budget pipeline
-        rather than silently emitting it unmapped."""
+        read's qualifying windows were not all chained — it got fewer
+        compact-window slots than cand_need (shared K budget exhausted)
+        or its per-read candidate cap C itself may be truncating
+        (cand_sat: the lowest-vote candidate still qualifies).  The
+        caller escalates through the 8x-budget then the solo pipeline
+        rather than silently diverging from the reference (which chains
+        every qualifying window, src/LordFAST.cpp:874-904)."""
         cfg = self.cfg
         if not out["cand_valid0"][b]:
             return False, [], False
         rows = rows_by_read.get(b, [])
-        if not rows:
-            return False, [], True
         is_fine = bool(out["is_fine"][b])
         if not is_fine:
             selected = [k for k in rows if out["cw_cand_idx"][k] == 0][:1]
-        else:
-            rows = sorted(
-                rows,
-                key=lambda k: (-float(out["chain_score"][k]),
-                               int(out["cw_cand_idx"][k])),
-            )
-            selected = rows[: cfg.max_map]
-        return is_fine, selected, False
+            return False, selected, not selected
+        over = (len(rows) < int(out["cand_need"][b])
+                or bool(out["cand_sat"][b]))
+        selected = self._fine_heap_select(rows, out, cfg.max_map)
+        return True, selected, over
+
+    @staticmethod
+    def _fine_heap_select(rows, out, max_map):
+        """Replicate findTopWins_fine's top-window heap byte-for-byte
+        (src/LordFAST.cpp:874-904): windows scanned forward strand first
+        then reverse, ascending winId; a min-heap (std::push_heap /
+        pop_heap with compareWin = score>) of float32 chain scores keeps
+        the top maxWin, replacement only on STRICTLY greater score — so
+        exact score ties at the cutoff keep the earliest-scanned window,
+        and the emitted order is the heap's ARRAY order (alignWin walks
+        list[0..num-1]; the final std::sort by totalScore is insertion
+        sort — stable — for n <= 16).  The heap ops match libstdc++'s
+        __push_heap / __adjust_heap element moves exactly."""
+        import numpy as np
+
+        def push_heap(h):  # __push_heap(first, len-1, 0, value)
+            hole = len(h) - 1
+            value = h[hole]
+            parent = (hole - 1) >> 1
+            while hole > 0 and h[parent][0] > value[0]:  # compareWin
+                h[hole] = h[parent]
+                hole = parent
+                parent = (hole - 1) >> 1
+            h[hole] = value
+
+        def pop_heap(h):  # __pop_heap(first, last-1, last-1, value)
+            n = len(h) - 1
+            value = h[n]
+            h[n] = h[0]
+            # __adjust_heap(first, 0, n, value)
+            hole, top, second = 0, 0, 0
+            while second < (n - 1) >> 1:
+                second = 2 * (second + 1)
+                if h[second][0] > h[second - 1][0]:  # comp(right, left)
+                    second -= 1
+                h[hole] = h[second]
+                hole = second
+            if (n & 1) == 0 and second == (n - 2) >> 1:
+                second = 2 * (second + 1)
+                h[hole] = h[second - 1]
+                hole = second - 1
+            # __push_heap(first, hole, top, value)
+            parent = (hole - 1) >> 1
+            while hole > top and h[parent][0] > value[0]:
+                h[hole] = h[parent]
+                hole = parent
+                parent = (hole - 1) >> 1
+            h[hole] = value
+
+        scan = sorted(
+            rows,
+            key=lambda k: (int(out["cw_is_rev"][k]),
+                           int(out["cw_win_id"][k])),
+        )
+        heap = []
+        for k in scan:
+            s = np.float32(out["chain_score"][k])
+            if len(heap) < max_map:
+                heap.append((s, k))
+                push_heap(heap)
+            elif s > heap[0][0]:
+                pop_heap(heap)
+                heap[-1] = (s, k)
+                push_heap(heap)
+        return [k for _, k in heap]
 
     def _gap_descriptors(self, j, read_len, is_rev, cq, ct, cl,
                          chr_beg, chr_end):
@@ -342,6 +441,9 @@ class MappingEngine:
             shape_key = (Q, T, tuple(reads_dev.shape))
             for s in range(0, len(per), G):
                 part = per[s : s + G]
+                g = len(part)
+                # one C-level conversion instead of 8*g Python item writes
+                dmat = np.asarray([d for _, d in part], dtype=np.int64)
                 desc = {
                     "q_read": np.zeros(G, np.int32),
                     "q_start": np.zeros(G, np.int32),
@@ -353,17 +455,15 @@ class MappingEngine:
                     "is_shw": np.zeros(G, bool),
                     "valid": np.zeros(G, bool),
                 }
-                for gi, (_, d) in enumerate(part):
-                    (j, qa, qn, qrc, ta, tn, trc, shw) = d
-                    desc["q_read"][gi] = j
-                    desc["q_start"][gi] = qa
-                    desc["q_len"][gi] = qn
-                    desc["q_rc"][gi] = qrc
-                    desc["t_start"][gi] = ta
-                    desc["t_len"][gi] = tn
-                    desc["t_rc"][gi] = trc
-                    desc["is_shw"][gi] = shw
-                    desc["valid"][gi] = True
+                desc["q_read"][:g] = dmat[:, 0]
+                desc["q_start"][:g] = dmat[:, 1]
+                desc["q_len"][:g] = dmat[:, 2]
+                desc["q_rc"][:g] = dmat[:, 3] != 0
+                desc["t_start"][:g] = dmat[:, 4]
+                desc["t_len"][:g] = dmat[:, 5]
+                desc["t_rc"][:g] = dmat[:, 6] != 0
+                desc["is_shw"][:g] = dmat[:, 7] != 0
+                desc["valid"][:g] = True
                 t_d = time.time()
                 if self._gap_pallas and gap_dp_pallas.supports(Q, T):
                     res = gap_dp_pallas.gap_align_from_desc_pl(
@@ -382,11 +482,16 @@ class MappingEngine:
                     t_pack += dt  # exclude compile from gap_pack
                 if isinstance(res, gap_dp_pallas.GapColsResult):
                     # trim the (T, G) colcode transfer to the used lanes
-                    # (padded to a lane tile) — the final sub-batch of a
-                    # bucket is often mostly padding
+                    # (padded to a lane tile) and to the rows the part's
+                    # deepest target can actually reach — the tunnel link
+                    # (~45 MB/s) makes colcode bytes the dominant gap-DP
+                    # wait cost, and deep-T buckets (e.g. (32, 4096)) are
+                    # mostly row padding for typical gaps
                     gp = 128 * ((len(part) + 127) // 128)
-                    if gp < res.colcode.shape[1]:
-                        res = res._replace(colcode=res.colcode[:, :gp])
+                    tp = 8 * ((int(desc["t_len"][: len(part)].max()) + 7)
+                              // 8)
+                    if gp < res.colcode.shape[1] or tp < res.colcode.shape[0]:
+                        res = res._replace(colcode=res.colcode[:tp, :gp])
                 pending.append((part, res))
 
         self.metrics.timers["gap_pack"] += time.time() - t_pack
@@ -902,7 +1007,8 @@ class MappingEngine:
                     overflow.append(j)
 
             # per-read device context: 0 = normal run, 1 = 8x-budget
-            # retry for reads whose windows overflowed the K compact slots
+            # retry, 2+ = solo 512-window retries for reads whose windows
+            # overflowed the shared K compact slots
             ctxs = [(out, chains_dev)]
             if overflow:
                 self.metrics.add("compact_retry", len(overflow))
@@ -918,14 +1024,30 @@ class MappingEngine:
                         j, out2, rows2
                     )
                     selections[j] = (is_fine, selected, 1)
-                    if over2:  # still no slots: give up (counted)
-                        self.stats["compact_overflow"] = (
-                            self.stats.get("compact_overflow", 0) + 1
+                    if over2:
+                        # still no slots: run the read alone with a
+                        # 512-window budget (solo row 0 in its context)
+                        self.metrics.add("compact_solo", 1)
+                        with self.metrics.timer("device"):
+                            out3, chains3 = self._solo_retry(
+                                seq_to_codes(batch[j].seq),
+                                reads_dev.shape[1],
+                            )
+                        rows3 = _rows_by_read(out3)
+                        is_fine, selected, over3 = self._select_rows(
+                            0, out3, rows3
                         )
-                        self.metrics.log(
-                            1, "[WARNING] read slot overflow after 8x "
-                               "retry; emitted unmapped",
-                        )
+                        ctxs.append((out3, chains3))
+                        selections[j] = (is_fine, selected,
+                                         len(ctxs) - 1)
+                        if over3:  # >512 qualifying windows: give up
+                            self.stats["compact_overflow"] = (
+                                self.stats.get("compact_overflow", 0) + 1
+                            )
+                            self.metrics.log(
+                                1, "[WARNING] read slot overflow after "
+                                   "solo retry; emitted unmapped",
+                            )
 
             lazy = []
             ncap = out["chain_ql"].shape[1]

@@ -312,3 +312,38 @@ def test_select_window_seeds(small_index, rng):
                 for i in range(int(np.asarray(ws.valid[b, c]).sum()))
             )
             assert got == want, (b, c)
+
+
+def test_vote_flat_matches_wide(rng):
+    """The flat-compacted voting path (ops/voting._vote_windows_flat)
+    must produce the identical CandidateBatch as the wide per-read path
+    on random seed batches (incl. candidate-less and repeat-dense
+    reads)."""
+    from lordfast_tpu.ops.voting import (_vote_windows_flat,
+                                         _vote_windows_wide)
+
+    cfg = LordfastConfig(max_candidates=8)
+    B, MS = 12, 64
+    per_read = []
+    for b in range(B):
+        n = int(rng.integers(0, MS + 1))
+        if b == 3:
+            n = 0  # candidate-less read
+        seeds = []
+        for _ in range(n):
+            tp = int(rng.integers(0, 40000))
+            seeds.append((tp, int(rng.integers(0, 900)),
+                          int(rng.integers(14, 40)),
+                          bool(rng.integers(0, 2))))
+        per_read.append(seeds)
+    sb = make_seed_batch(per_read, MS=MS)
+    lens = jnp.asarray(np.full(B, 1000, np.int32))
+    wide = _vote_windows_wide(sb, lens, cfg)
+    flat = _vote_windows_flat(sb, lens, cfg, 4096)
+    for name in ("win_id", "is_rev", "cnt", "valid", "is_fine"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(wide, name)), np.asarray(getattr(flat, name)),
+            err_msg=name,
+        )
+    np.testing.assert_allclose(np.asarray(wide.min_score),
+                               np.asarray(flat.min_score))
