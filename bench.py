@@ -259,10 +259,11 @@ def gen_gbp_reads(idx, path: Path, n_reads=512):
             f.write(f"@g{i}\n{read}\n+\n{'I' * len(read)}\n")
 
 
-# reference lordfast on the gbp dataset, 1 thread, measured once on this
-# host off the exported bwa-format index (see README / BENCH notes);
-# re-measuring inside bench.py would cost ~10 min of index load alone
-REF_GBP_READS_PER_SEC = None  # not yet measured
+# reference lordfast on the gbp dataset, 1 thread, measured on this host
+# off OUR exported bwa-format index (512 reads / 13.77 s self-reported
+# mapping time; total 56 s incl. its ~6 GB index load).  Re-measuring
+# inside bench.py would cost minutes of index load per run.
+REF_GBP_READS_PER_SEC = 37.2
 
 
 def main():

@@ -41,12 +41,25 @@ if not _os.environ.get("LORDFAST_NO_COMPILE_CACHE"):
         _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
                       ".jax_cache"),
     )
-    try:
-        _os.makedirs(_cache_dir, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # cache is best-effort
-        pass
+    # XLA:CPU's AOT cache is unreliable in this jax build: reloading a
+    # cached CPU executable can hard-ABORT the process (machine-feature
+    # mismatch, "Fatal Python error: Aborted" with no message) — seen as
+    # flaky crashes in the CPU-forced test suite.  The persistent cache
+    # therefore only serves non-CPU backends (where it saves the
+    # multi-minute tunneled TPU compiles); forced-CPU processes always
+    # compile fresh.
+    _plat = _os.environ.get("JAX_PLATFORMS", "").strip()
+    if _plat == "cpu":
+        _cache_dir = None
+    if _cache_dir is not None:
+        try:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception:  # cache is best-effort
+            pass
 
 __version__ = "0.1.0"
 

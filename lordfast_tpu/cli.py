@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunkSize", type=int, default=0, metavar="BYTES",
                    help="read-chunk size (default 100 MB, the reference's "
                         "bound, src/baseFAST.cpp:59)")
+    p.add_argument("--seeder", default="extend-whole",
+                   choices=["extend-whole", "extend-whole-2",
+                            "extend-whole-3"],
+                   help="seeder variant: the reference's active "
+                        "getLocs_extend_whole_step (default, device "
+                        "kernel) or its two dormant in-tree variants "
+                        "(src/BWT.cpp:423-591; host implementations)")
     p.add_argument("--exportBwa", action="store_true",
                    help="with --index: also write the reference-"
                         "compatible .bwt/.sa/.pac/.ann/.amb/.cache file "
@@ -127,6 +134,7 @@ def config_from_args(args) -> LordfastConfig:
         no_sam_header=args.noSamHeader,
         num_threads=args.threads,
         verbosity=args.verbose,
+        seeder=args.seeder,
         **({"chunk_bytes": args.chunkSize} if args.chunkSize > 0 else {}),
     ).validate()
 
@@ -282,7 +290,11 @@ def main(argv=None) -> int:
 
     with profiler_trace(args.profile):
         if args.out:
-            with open(out_path, mode) as out:
+            # buffered SAM writes, reference's opt_outputBufferSize
+            # (2 MB default; src/CommandLineParser.cpp:40,
+            # src/LordFAST.cpp:451-458)
+            with open(out_path, mode,
+                      buffering=max(cfg.output_buffer_size, 2)) as out:
                 engine.map_file(args.seq, out, cmdline, progress=progress,
                                 process_index=proc_idx,
                                 num_processes=num_procs)

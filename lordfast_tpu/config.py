@@ -130,17 +130,31 @@ class LordfastConfig:
     # the (2048, 2176) large-query bucket) run the tiled Pallas kernel
     # (checkpoint/recompute, gap_dp_pallas._make_kernel_tiled) on TPU and
     # the jnp kernel elsewhere.
+    # the final (4096, 4352) bucket (hierarchically-checkpointed tiled
+    # kernel, CPT=8) covers every gap the bench/SV datasets produce —
+    # gaps_host stays 0; anything even larger (a >4 kb unanchored
+    # region inside one window) still falls back to the host stitcher
     gap_buckets: tuple = ((32, 48, 4096), (64, 96, 2048),
                           (128, 160, 1024), (256, 320, 512),
                           (512, 576, 256), (32, 4096, 512),
                           (64, 2304, 512), (128, 1152, 512),
-                          (2048, 2176, 64))
+                          (2048, 2176, 64), (4096, 4352, 32))
     # device affine-extension bucket shapes (ops/affine_pl.py):
     # (Qe, Te, G) padded query/target lengths and problems per call for
     # the clip/split escalation ksw_extend2 kernel; larger escalation
     # sites run on the host inside the stitcher (rare monster clips)
     affine_buckets: tuple = ((512, 544, 128), (2048, 2080, 128),
                              (8192, 8224, 128))
+
+    # ---- seeder variant ----
+    # "extend-whole" = the reference's ACTIVE seeder
+    # (getLocs_extend_whole_step, src/BWT.cpp:312-394; the device kernel
+    # in ops/fm_index.py).  The two dormant variants the reference ships
+    # but never calls (src/BWT.cpp:423-591) are available as host
+    # implementations (ops/seeders.py): "extend-whole-2" (maximal
+    # leftward extension from sampled END positions) and
+    # "extend-whole-3" (longest-match-starting-at-i table).
+    seeder: str = "extend-whole"
 
     # ---- runtime ----
     num_threads: int = 0            # host worker threads (0 = auto)

@@ -44,14 +44,22 @@ def _row_gather(stripe, rows, axis):
     axis=None: ``stripe`` is the full (replicated) array — plain gather.
     axis=<mesh axis name>: ``stripe`` is this device's row stripe of the
     array (shard_map local view; global row r lives on shard r // rps at
-    local row r % rps).  The query rows are all-gathered over the axis,
-    every shard answers the subset it owns (zeros elsewhere), and a
-    reduce-scatter returns each device the answers to its own queries —
-    the TPU-native routing of bwa's shared-memory Occ lookups
-    (lib/bwa/bwt.c:107-166) per SURVEY.md §5.8.
+    local row r % rps) — rows are routed to their owners
+    (_row_gather_routed), falling back to the all-gather pattern
+    (_row_gather_ag) when the owner distribution is too skewed.
     """
     if axis is None:
         return stripe[rows]
+    return _row_gather_routed(stripe, rows, axis)
+
+
+def _row_gather_ag(stripe, rows, axis):
+    """All-gather routing (the original pattern): gather every device's
+    query rows, every shard answers the subset it owns (zeros
+    elsewhere), and a reduce-scatter returns each device its answers.
+    Simple and skew-proof, but the value reduce-scatter moves ~(D-1) x
+    the answer bytes — the routed path below is the cheap common case.
+    """
     rps = stripe.shape[0]
     d = jax.lax.axis_index(axis)
     all_rows = jax.lax.all_gather(rows, axis)  # (D, ...) global queries
@@ -63,6 +71,72 @@ def _row_gather(stripe, rows, axis):
     # each row is owned by exactly one shard -> sum-combine
     return jax.lax.psum_scatter(vals, axis, scatter_dimension=0,
                                 tiled=False)
+
+
+def _row_gather_routed(stripe, rows, axis):
+    """Owner-routed lookup: bucket this device's queries by owning shard
+    (sort by owner), all_to_all the row ids to their owners, answer with
+    one local gather, all_to_all the values straight back — point-to-
+    point traffic instead of the all-gather pattern's broadcast+reduce.
+
+    Per backward step and device this moves ~2*cap*D row ids + cap*D
+    value rows, vs. D x (row ids) + (D-1) x (value rows) for
+    _row_gather_ag — with cap = 2*ceil(Q/D), ~3-4x fewer bytes at D=8
+    and better with D (SURVEY.md §7 step 2's locality lever; the sort IS
+    the batching).  Rank rows of a lockstep backward-search step are
+    near-uniform over shards, so the 2x bucket slack virtually never
+    overflows; a psum'd (device-uniform) overflow flag falls back to
+    _row_gather_ag for that step when it does (adversarial repeat
+    pile-ups)."""
+    D = jax.lax.psum(1, axis)  # static mesh size
+    rps = stripe.shape[0]
+    shape = rows.shape
+    q = rows.reshape(-1)
+    Q = q.shape[0]
+    cap = -(-2 * Q // D)
+    cap = (cap + 7) & ~7
+    if cap * D >= 2 * Q + D * 8:  # tiny query sets: routing buys nothing
+        return _row_gather_ag(stripe, rows, axis)
+    pdt = q.dtype
+    owner = jnp.clip(q // rps, 0, D - 1).astype(jnp.int32)
+
+    order = jnp.argsort(owner, stable=True)
+    so = owner[order]
+    pos = jnp.arange(Q, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(
+        jnp.where(jnp.concatenate([jnp.ones(1, bool), so[1:] != so[:-1]]),
+                  pos, 0)
+    )
+    rank = pos - seg_start
+    over = jax.lax.psum((rank >= cap).any().astype(jnp.int32), axis) > 0
+
+    def routed(_):
+        slot = jnp.where(rank < cap, so * cap + rank, D * cap - 1)
+        sendrows = jnp.full((D * cap,), -1, pdt).at[slot].set(
+            q[order], mode="drop"
+        )
+        # slot D*cap-1 may hold a clamped duplicate; harmless (over is
+        # False on this branch, so every rank < cap and slots are unique)
+        x = sendrows.reshape(D, cap)
+        recv = jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0)
+        d = jax.lax.axis_index(axis)
+        loc = recv.reshape(-1) - jnp.asarray(d, pdt) * rps
+        ok = (loc >= 0) & (loc < rps)
+        vals = stripe[jnp.clip(loc, 0, rps - 1)]
+        mask = ok if stripe.ndim == 1 else ok[..., None]
+        vals = jnp.where(mask, vals, jnp.zeros((), vals.dtype))
+        vals = vals.reshape((D, cap) + stripe.shape[1:])
+        back = jax.lax.all_to_all(vals, axis, split_axis=0, concat_axis=0)
+        flat = back.reshape((D * cap,) + stripe.shape[1:])
+        out_sorted = flat[jnp.clip(slot, 0, D * cap - 1)]
+        inv = jnp.argsort(order)
+        return out_sorted[inv]
+
+    def fallback(_):
+        return _row_gather_ag(stripe, q, axis)
+
+    out = jax.lax.cond(over, fallback, routed, None)
+    return out.reshape(shape + stripe.shape[1:])
 
 
 def _global_any(x, axis):

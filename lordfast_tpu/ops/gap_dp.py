@@ -236,6 +236,15 @@ def gap_align(qs, ql, ts, tl, is_shw, Q: int, T: int) -> GapResult:
     return GapResult(dist=dist, end=end, moves_packed=packed, mlen=mlen)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def gather_gap_seqs_jit(pac_words, reads, desc, Q: int, T: int,
+                        l_pac: int):
+    """Jitted gather alone — letting the engine dispatch gather (which
+    recompiles per read-batch shape, cheap) separately from the DP
+    kernel (which then compiles once per (Q, T) bucket, expensive)."""
+    return gather_gap_seqs(pac_words, reads, desc, Q, T, l_pac)
+
+
 def gather_gap_seqs(pac_words, reads, desc, Q: int, T: int, l_pac: int):
     """Device gather of the (qs, ql, ts, tl) padded code tensors for a gap
     descriptor table — shared by the jnp kernel (gap_align) and the Pallas
@@ -256,18 +265,33 @@ def gather_gap_seqs(pac_words, reads, desc, Q: int, T: int, l_pac: int):
     qg = jnp.where(desc["q_rc"][:, None] & (qg < 4), 3 - qg, qg)
     qs = jnp.where(q_ok, qg, 4).astype(jnp.uint8)
 
+    # Target fetch in two steps: (1) gather the CONTIGUOUS word rows
+    # covering [t_start, t_start+T) — T/16+1 words per gap — and unpack
+    # them into a small local code window; (2) per-element indexing
+    # (incl. the t_rc reversal) against that window.  A direct
+    # per-element gather over pac_words costs ~16x more HBM transactions
+    # and dominates gap-DP time at Gbp scale (pac_words is 1.5 GB for
+    # GRCh38; the window buffer is (G, T+16) bytes).
+    NWt = T // 16 + 1
+    t0 = desc["t_start"].astype(jnp.int64)
+    base = jnp.clip(t0, 0, None) >> 4
+    max_row = (2 * l_pac - 1) >> 4
+    rows = jnp.clip(base[:, None] + jnp.arange(NWt, dtype=jnp.int64),
+                    0, max_row)
+    twords = pac_words[rows]                       # (G, NWt) u32
+    sh16 = (jnp.uint32(2) * (15 - jnp.arange(16, dtype=jnp.uint32)))
+    win = ((twords[:, :, None] >> sh16[None, None, :]) & 3).astype(
+        jnp.uint8).reshape(-1, NWt * 16)           # (G, NWt*16)
+
     j_t = jnp.arange(T, dtype=jnp.int64)[None, :]
     tpos = jnp.where(
         desc["t_rc"][:, None],
-        desc["t_start"].astype(jnp.int64)[:, None]
-        + tl.astype(jnp.int64)[:, None] - 1 - j_t,
-        desc["t_start"].astype(jnp.int64)[:, None] + j_t,
+        t0[:, None] + tl.astype(jnp.int64)[:, None] - 1 - j_t,
+        t0[:, None] + j_t,
     )
     t_in = (tpos >= 0) & (tpos < l_pac)
-    tclip = jnp.clip(tpos, 0, l_pac - 1)
-    words = pac_words[(tclip >> 4)]
-    shift = ((~tclip & 15) << 1).astype(jnp.uint32)
-    tg = ((words >> shift) & 3).astype(jnp.uint8)
+    widx = jnp.clip(tpos - (base[:, None] << 4), 0, NWt * 16 - 1)
+    tg = jnp.take_along_axis(win, widx.astype(jnp.int32), axis=1)
     tg = jnp.where(t_in, tg, 0)          # pad 0 like get_ref_codes
     tg = jnp.where(desc["t_rc"][:, None], 3 - tg, tg)
     ts = jnp.where(j_t < tl[:, None], tg, 0).astype(jnp.uint8)

@@ -254,6 +254,26 @@ def _pick_tile(Q: int, T: int):
     return 0
 
 
+def _pick_cpt(Q: int, T: int, TT: int):
+    """Checkpoint stride (tiles per saved carry) for the tiled kernel:
+    smallest power of two so the per-lane VMEM footprint — planes
+    (2*TT*W words) + carries (ceil(NT/CPT)*2*W words) + ts/colcode
+    (2*T words) — fits the budget at the 128-lane minimum tile.  The
+    traceback refills up to CPT tiles to reach a walked tile (classic
+    hierarchical checkpointing), trading ~CPT/2 extra fill passes for
+    O(NT/CPT) carry memory; Q=4096 buckets fit VMEM at CPT=8."""
+    W = Q // 32
+    NT = T // TT
+    cpt = 1
+    while cpt <= NT:
+        n_cp = -(-NT // cpt)
+        per_lane = (2 * TT * W + n_cp * 2 * W + 2 * T) * 4
+        if 128 * per_lane <= _VMEM_PLANE_BUDGET:
+            return cpt
+        cpt *= 2
+    return 0
+
+
 def supports(Q: int, T: int) -> bool:
     """Can the Pallas path handle this bucket?  Small buckets keep the
     whole bitplane set in VMEM; larger ones use the tiled kernel
@@ -261,19 +281,25 @@ def supports(Q: int, T: int) -> bool:
     W = Q // 32
     if T * W <= 9216:
         return Q <= MAX_PALLAS_Q
-    return Q <= 2048 and _pick_tile(Q, T) >= 8
+    if Q > 4096:
+        return False
+    TT = _pick_tile(Q, T)
+    return TT >= 8 and _pick_cpt(Q, T, TT) >= 1
 
 
-def _make_kernel_tiled(Q: int, T: int, TT: int, W: int, G: int):
+def _make_kernel_tiled(Q: int, T: int, TT: int, W: int, G: int,
+                       CPT: int = 1):
     """Myers fill + traceback with T tiled into T/TT column tiles.
 
     VMEM holds bitplanes for ONE tile only; Pv/Mv carries are
-    checkpointed at tile starts during the fill, and the traceback
-    restores each tile's carry and re-fills its planes before walking
-    its columns (classic checkpoint/recompute: ~2x fill work, O(T/TT)
-    carry memory).  This covers buckets whose full bitplane set
-    (T * W rows) exceeds VMEM — large-query gaps up to Q=2048."""
+    checkpointed every CPT tile starts during the fill, and the
+    traceback restores the nearest checkpoint and re-fills up to CPT
+    tiles' planes before walking a tile's columns (hierarchical
+    checkpoint/recompute: ~CPT/2 extra fill passes, O(T/(TT*CPT)) carry
+    memory).  This covers buckets whose full bitplane set (T * W rows)
+    exceeds VMEM — large-query gaps up to Q=4096."""
     NT = T // TT
+    NCP = -(-NT // CPT)  # number of saved carries
 
     def kernel(peq_ref, ts_ref, ql_ref, tl_ref, shw_ref, w64_ref, cap_ref,
                bmask_ref, dist_ref, end_ref, lead_ref, colcode_ref,
@@ -345,9 +371,9 @@ def _make_kernel_tiled(Q: int, T: int, TT: int, W: int, G: int):
             tile = c // jnp.int32(TT)
             c_loc = c - tile * jnp.int32(TT)
 
-            @pl.when(c_loc == 0)
+            @pl.when((c_loc == 0) & (tile % jnp.int32(CPT) == 0))
             def _():
-                base = tile * jnp.int32(2 * W)
+                base = (tile // jnp.int32(CPT)) * jnp.int32(2 * W)
                 for w in range(W):
                     carry_buf[pl.ds(base + w, 1), :] = Pv[w]
                     carry_buf[pl.ds(base + W + w, 1), :] = Mv[w]
@@ -434,21 +460,32 @@ def _make_kernel_tiled(Q: int, T: int, TT: int, W: int, G: int):
         def tile_body(carry):
             tt_i, ntc, r = carry
             tile = jnp.int32(NT - 1) - tt_i
-            t0 = tile * jnp.int32(TT)
-            base = tile * jnp.int32(2 * W)
+            cp = tile // jnp.int32(CPT)          # nearest checkpoint
+            base_tile = cp * jnp.int32(CPT)
+            base = cp * jnp.int32(2 * W)
             Pv = tuple(carry_buf[pl.ds(base + w, 1), :] for w in range(W))
             Mv = tuple(carry_buf[pl.ds(base + W + w, 1), :]
                        for w in range(W))
 
+            # re-fill from the checkpointed tile through the walked tile;
+            # intermediate tiles overwrite the plane buffer harmlessly —
+            # only the final (walked) tile's planes are read back
+            n_cols = (tile - base_tile + i1) * jnp.int32(TT)
+            t_base = base_tile * jnp.int32(TT)
+
             def refill_body(st):
                 cl, ub2, Pv, Mv = st
-                Pv2, Mv2, _, _ = col_step(t0 + cl, cl, Pv, Mv, False)
+                c_loc = cl % jnp.int32(TT)
+                Pv2, Mv2, _, _ = col_step(t_base + cl, c_loc, Pv, Mv,
+                                          False)
                 return (cl + i1, ub2, Pv2, Mv2)
 
             jax.lax.while_loop(
                 lambda st: st[0] < st[1], refill_body,
-                (i0, jnp.int32(TT), Pv, Mv),
+                (i0, n_cols, Pv, Mv),
             )
+
+            t0 = tile * jnp.int32(TT)
 
             def walk_body(st):
                 k, ub2, r = st
@@ -485,7 +522,9 @@ def gap_align_pl(qs, ql, ts, tl, is_shw, Q: int, T: int,
     if tiled:
         TT = _pick_tile(Q, T)
         NT = T // TT
-        per_lane = 2 * TT * W * 4 + T * 8 + NT * 2 * W * 4
+        CPT = _pick_cpt(Q, T, TT)
+        NCP = -(-NT // CPT)
+        per_lane = 2 * TT * W * 4 + T * 8 + NCP * 2 * W * 4
         GT = 128
         while GT * 2 * per_lane <= _VMEM_PLANE_BUDGET and GT * 2 <= G:
             GT *= 2
@@ -517,11 +556,11 @@ def gap_align_pl(qs, ql, ts, tl, is_shw, Q: int, T: int,
     vspec = lambda rows: pl.BlockSpec((rows, GT), lambda i: (zero, i),
                                       memory_space=pltpu.VMEM)
     if tiled:
-        kern = _make_kernel_tiled(Q, T, TT, W, GT)
+        kern = _make_kernel_tiled(Q, T, TT, W, GT, CPT)
         scratch = [
             pltpu.VMEM((TT * W, GT), jnp.uint32),
             pltpu.VMEM((TT * W, GT), jnp.uint32),
-            pltpu.VMEM((NT * 2 * W, GT), jnp.uint32),
+            pltpu.VMEM((NCP * 2 * W, GT), jnp.uint32),
         ]
     else:
         kern = _make_kernel(Q, T, W, GT)

@@ -128,6 +128,7 @@ class MappingEngine:
         # solo-read pipeline with a 512-window budget
         self._big_fn = None
         self._solo_fn = None
+        self._post_fns = {}  # dormant-seeder post-stage pipelines
 
     def _put_reads(self, arr: np.ndarray):
         import jax
@@ -137,15 +138,56 @@ class MappingEngine:
         return jax.device_put(arr)
 
     # ---- device stage ----
-    def _device_stage(self, reads_arr, lens: np.ndarray, big: bool = False):
+    def _device_stage(self, reads_arr, lens: np.ndarray, big: bool = False,
+                      host_seeds=None):
         import jax
 
+        if host_seeds is not None:
+            fn = self._get_post_fn("big" if big else "base",
+                                   big_budget=big)
+            return fn(self.arrs, host_seeds, reads_arr,
+                      np.asarray(lens, np.int32))
         pos = fm_ops.sample_positions_host(lens, self.cfg.sampling_count)
         if self._shard0 is not None:
             lens = jax.device_put(np.asarray(lens), self._shard0)
             pos = jax.device_put(np.asarray(pos), self._shard0)
         fn = self._get_big_fn() if big else self._device_fn
         return fn(self.arrs, reads_arr, lens, pos)
+
+    def _host_seeds(self, arr: np.ndarray, lens: np.ndarray):
+        """Dormant-seeder path (cfg.seeder != "extend-whole"): seed on
+        the host (ops/seeders.py), then run the jitted post-seeding
+        pipeline."""
+        from ..ops.seeders import host_seed_batch
+
+        sb = host_seed_batch(self.idx, arr, lens, self.cfg,
+                             self.cfg.max_seeds_per_read)
+        pdt = self.idx.pos_dtype
+        return sb._replace(t_pos=sb.t_pos.astype(pdt))
+
+    def _get_post_fn(self, key: str, big_budget: bool = False):
+        if key not in self._post_fns:
+            import jax
+
+            from ..parallel.mesh import post_seed_stage
+
+            cfg = self.cfg
+            if big_budget:
+                cfg = cfg.replace(
+                    max_candidates=min(4 * cfg.max_candidates, 256),
+                    compact_windows_per_read=8
+                    * cfg.compact_windows_per_read,
+                )
+            elif key == "solo":
+                bs = self.mesh.size if self.mesh is not None else 1
+                cfg = cfg.replace(max_candidates=512,
+                                  compact_windows_per_read=512 // bs)
+            self._post_fns[key] = jax.jit(
+                lambda a, s, r, ln, _cfg=cfg: post_seed_stage(
+                    a, s, r, ln, _cfg
+                )
+            )
+        return self._post_fns[key]
 
     def _make_fn(self, cfg_var):
         import jax
@@ -188,12 +230,11 @@ class MappingEngine:
         import jax
         import numpy as np
 
-        if self._solo_fn is None:
-            bs = self.mesh.size if self.mesh is not None else 1
-            self._solo_bs = bs
+        self._solo_bs = self.mesh.size if self.mesh is not None else 1
+        if self._solo_fn is None and self.cfg.seeder == "extend-whole":
             self._solo_fn = self._make_fn(self.cfg.replace(
                 max_candidates=512,
-                compact_windows_per_read=512 // bs,
+                compact_windows_per_read=512 // self._solo_bs,
             ))
         bs = self._solo_bs
         arr = np.full((bs, L), 4, dtype=np.uint8)
@@ -201,6 +242,11 @@ class MappingEngine:
         lens = np.zeros(bs, np.int32)
         lens[0] = len(codes)
         rd = self._put_reads(arr)
+        if self.cfg.seeder != "extend-whole":
+            sb = self._host_seeds(arr, lens)
+            fn = self._get_post_fn("solo")
+            _, chains, host_out = fn(self.arrs, sb, rd, lens)
+            return jax.device_get(host_out), chains
         pos = fm_ops.sample_positions_host(lens, self.cfg.sampling_count)
         if self._shard0 is not None:
             lens_d = jax.device_put(np.asarray(lens), self._shard0)
@@ -465,15 +511,20 @@ class MappingEngine:
                 desc["is_shw"][:g] = dmat[:, 7] != 0
                 desc["valid"][:g] = True
                 t_d = time.time()
+                # gather and DP kernel dispatched as separate jits: the
+                # gather recompiles per read-batch length bucket (cheap);
+                # the kernel compiles once per (Q, T) gap bucket
+                qs_d, ql_d, ts_d, tl_d = gap_dp.gather_gap_seqs_jit(
+                    self.arrs["pac_words"], reads_dev, desc, Q, T,
+                    self.meta["l_pac"],
+                )
                 if self._gap_pallas and gap_dp_pallas.supports(Q, T):
-                    res = gap_dp_pallas.gap_align_from_desc_pl(
-                        self.arrs["pac_words"], reads_dev, desc, Q, T,
-                        self.meta["l_pac"],
+                    res = gap_dp_pallas.gap_align_pl(
+                        qs_d, ql_d, ts_d, tl_d, desc["is_shw"], Q, T
                     )
                 else:
-                    res = gap_dp.gap_align_from_desc(
-                        self.arrs["pac_words"], reads_dev, desc, Q, T,
-                        self.meta["l_pac"],
+                    res = gap_dp.gap_align(
+                        qs_d, ql_d, ts_d, tl_d, desc["is_shw"], Q, T
                     )
                 if shape_key not in self._gap_shapes_seen:
                     self._gap_shapes_seen.add(shape_key)
@@ -661,9 +712,19 @@ class MappingEngine:
                     desc["w_eff"][gi] = affine_pl.clamp_band(
                         qn, cfg.ksw_match_clip, 0, od, ed_, oi, ei, w
                     )
-                res = affine_pl.extend_from_desc(
-                    self.arrs["pac_words"], reads_dev, desc, Qe, Te, BW,
-                    w_max, self.meta["l_pac"], interpret=interp,
+                # split gather / kernel jits (same rationale as the
+                # Myers path: kernel compiles once per bucket)
+                qs_d, ql_d, ts_d, tl_d = gap_dp.gather_gap_seqs_jit(
+                    self.arrs["pac_words"], reads_dev, desc, Qe, Te,
+                    self.meta["l_pac"],
+                )
+                res = affine_pl.extend_batch(
+                    qs_d, ts_d, Qe, Te, BW, w_max, qlen=ql_d, tlen=tl_d,
+                    o_del=desc["o_del"], e_del=desc["e_del"],
+                    o_ins=desc["o_ins"], e_ins=desc["e_ins"],
+                    w_eff=desc["w_eff"], zdrop=desc["zdrop"],
+                    h0=desc["h0"], match=desc["match"],
+                    mismatch=desc["mismatch"], interpret=interp,
                 )
                 pending.append((part, res))
 
@@ -971,8 +1032,13 @@ class MappingEngine:
             # ship reads once; the same device buffer feeds the seeding
             # stage and the gap-DP gathers (no second upload)
             reads_dev = self._put_reads(arr)
-            _, chains_dev, host_out = self._device_stage(reads_dev, lens)
-            return idxs, batch, reads_dev, lens, (chains_dev, host_out)
+            seeds_np = (self._host_seeds(arr, lens)
+                        if cfg.seeder != "extend-whole" else None)
+            _, chains_dev, host_out = self._device_stage(
+                reads_dev, lens, host_seeds=seeds_np
+            )
+            return (idxs, batch, reads_dev, lens, (chains_dev, host_out),
+                    seeds_np)
 
         def _rows_by_read(out):
             rows = {}
@@ -983,7 +1049,7 @@ class MappingEngine:
                     rows.setdefault(int(cw_read[k]), []).append(k)
             return rows
 
-        def resolve(idxs, batch, reads_dev, lens, dev):
+        def resolve(idxs, batch, reads_dev, lens, dev, seeds_np=None):
             # one device->host transfer per batch, trimmed on device
             # (seeds and full chains stay on device)
             chains_dev, host_out = dev
@@ -1014,7 +1080,7 @@ class MappingEngine:
                 self.metrics.add("compact_retry", len(overflow))
                 with self.metrics.timer("device"):
                     _, chains2, host_out2 = self._device_stage(
-                        reads_dev, lens, big=True
+                        reads_dev, lens, big=True, host_seeds=seeds_np
                     )
                     out2 = jax.device_get(host_out2)
                 rows2 = _rows_by_read(out2)

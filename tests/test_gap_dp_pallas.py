@@ -129,6 +129,44 @@ def test_pallas_tiled_path_vs_jnp(rng):
         )
 
 
+def test_pallas_tiled_checkpoint_stride(rng, monkeypatch):
+    # Hierarchical checkpointing (CPT > 1): shrink the VMEM budget so
+    # _pick_cpt chooses a stride > 1 at (512, 592) — the traceback then
+    # exercises the restore-and-refill-across-CPT-tiles path the big
+    # (4096, 4352) bucket uses on TPU.
+    monkeypatch.setattr(gp, "_VMEM_PLANE_BUDGET", 1_200_000)
+    Q, T = 512, 592
+    TT = gp._pick_tile(Q, T)
+    assert gp._pick_cpt(Q, T, TT) > 1
+    G = 8
+    pairs = []
+    for g in range(G):
+        q = rng.integers(0, 4, int(rng.integers(Q - 90, Q + 1))).astype(
+            np.uint8)
+        t = q.copy()
+        sites = rng.integers(0, len(t), max(1, len(t) // 9))
+        t[sites] = rng.integers(0, 4, len(sites))
+        pairs.append((q, t[: int(rng.integers(T - 90, T + 1))]))
+    modes = [g % 2 == 0 for g in range(G)]
+    dist, end, moves = _run(pairs, modes, Q, T)
+    qs = np.zeros((G, Q), np.uint8)
+    ts = np.zeros((G, T), np.uint8)
+    ql = np.zeros(G, np.int32)
+    tl = np.zeros(G, np.int32)
+    for g, (q, t) in enumerate(pairs):
+        qs[g, : len(q)] = q
+        ts[g, : len(t)] = t
+        ql[g], tl[g] = len(q), len(t)
+    ref = gap_dp.gap_align(qs, ql, ts, tl, np.asarray(modes, bool), Q, T)
+    ref_moves = gap_dp.unpack_moves(np.asarray(ref.moves_packed),
+                                    np.asarray(ref.mlen))
+    np.testing.assert_array_equal(dist, np.asarray(ref.dist))
+    np.testing.assert_array_equal(end, np.asarray(ref.end))
+    for g in range(G):
+        np.testing.assert_array_equal(moves[g], ref_moves[g],
+                                      err_msg=f"cpt gap {g}")
+
+
 def test_pallas_negative_end_artifact():
     q = np.array([0], np.uint8)
     t = np.array([1, 1, 1], np.uint8)
