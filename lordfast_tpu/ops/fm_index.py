@@ -278,28 +278,69 @@ def sa_lookup(arrs, meta, rows, valid, axis=None):
     mask = intv - 1
     log2_intv = int(intv).bit_length() - 1
 
-    def cond(state):
-        rows, steps, active, ga = state
-        return ga
+    def walk(rows, steps, active, max_steps=None):
+        def cond(state):
+            out = state[3]
+            if max_steps is not None:
+                out = out & (state[4] < max_steps)
+            return out
 
-    def body(state):
-        rows, steps, active, _ = state
-        k = rows
-        # bwt_invPsi (lib/bwa/bwt.c:53-59)
-        x = k - (k > primary).astype(pdt)
-        ch = bwt_b0(arrs, x, axis=axis)
-        nxt = arrs["L2"][ch].astype(pdt) + occ(arrs, meta, k, ch, axis=axis)
-        nxt = jnp.where(k == primary, 0, nxt).astype(pdt)
-        rows = jnp.where(active, nxt, rows)
-        steps = steps + active.astype(pdt)
-        active = active & ((rows & mask) != 0)
-        return rows, steps, active, _global_any(active, axis)
+        def body(state):
+            rows, steps, active, _, it = state
+            k = rows
+            # bwt_invPsi (lib/bwa/bwt.c:53-59)
+            x = k - (k > primary).astype(pdt)
+            ch = bwt_b0(arrs, x, axis=axis)
+            nxt = arrs["L2"][ch].astype(pdt) + occ(arrs, meta, k, ch,
+                                                   axis=axis)
+            nxt = jnp.where(k == primary, 0, nxt).astype(pdt)
+            rows = jnp.where(active, nxt, rows)
+            steps = steps + active.astype(pdt)
+            active = active & ((rows & mask) != 0)
+            return (rows, steps, active, _global_any(active, axis),
+                    it + jnp.int32(1))
+
+        rows, steps, active, _, _ = jax.lax.while_loop(
+            cond, body,
+            (rows, steps, active, _global_any(active, axis), jnp.int32(0)),
+        )
+        return rows, steps, active
 
     steps0 = jnp.zeros_like(rows)
     active0 = valid & ((rows & mask) != 0)
-    rows_f, steps_f, _, _ = jax.lax.while_loop(
-        cond, body, (rows, steps0, active0, _global_any(active0, axis))
-    )
+
+    flat = rows.ndim == 1
+    n = rows.shape[0] if flat else 0
+    if axis is None and flat and n >= (1 << 16) and intv >= 8:
+        # Phased walk with lane compaction: expected remaining walk
+        # length is uniform in [0, intv), so after intv/2 steps about
+        # half the lanes have hit a sampled row.  Compact the survivors
+        # to half width and finish there — roughly halves the rank
+        # gather volume of locate, the dominant seeding cost at Gbp
+        # scale (the walk gathers 48-byte rank rows per lane per step
+        # over the multi-GB index).  Falls back to the full-width walk
+        # if survivors exceed the cap (skewed row distributions).
+        half = intv // 2
+        rows1, steps1, act1 = walk(rows, steps0, active0, max_steps=half)
+
+        cap = n // 2
+
+        def take(st):
+            r1, s1, a1 = st
+            _, sel = jax.lax.top_k(a1.astype(jnp.int32), cap)
+            r2, s2, _ = walk(r1[sel], s1[sel], a1[sel])
+            return r1.at[sel].set(r2), s1.at[sel].set(s2)
+
+        def fall(st):
+            r1, s1, a1 = st
+            r2, s2, _ = walk(r1, s1, a1)
+            return r2, s2
+
+        rows_f, steps_f = jax.lax.cond(
+            act1.sum() <= cap, take, fall, (rows1, steps1, act1)
+        )
+    else:
+        rows_f, steps_f, _ = walk(rows, steps0, active0)
     sa = steps_f + _row_gather(
         arrs["sa_samp"], rows_f >> log2_intv, axis
     ).astype(pdt)
@@ -687,7 +728,28 @@ def _seed_anchors_impl(
     # located) occurrence position; their kf row is stale (it predates
     # the comparison-resolved extension tail), so skip the SA walk
     res_f = rflagf[bidx, sidx]
-    p_occ = sa_lookup(arrs, meta, row, slot_valid & ~res_f, axis=axis)
+    walk_mask = slot_valid & ~res_f
+    if axis is None and B * max_seeds >= (1 << 17):
+        # compact the lanes that actually walk (typically well under
+        # half the padded slots) before the inverse-Psi walk — its rank
+        # gathers over the multi-GB index dominate seeding at Gbp scale
+        flat_rows = row.reshape(-1)
+        flat_valid = walk_mask.reshape(-1)
+        cap = (B * max_seeds) // 2
+
+        def take(_):
+            _, sel = jax.lax.top_k(flat_valid.astype(jnp.int32), cap)
+            sub = sa_lookup(arrs, meta, flat_rows[sel], flat_valid[sel])
+            return jnp.zeros_like(flat_rows).at[sel].set(sub)
+
+        def fall(_):
+            return sa_lookup(arrs, meta, flat_rows, flat_valid)
+
+        p_occ = jax.lax.cond(
+            flat_valid.sum() <= cap, take, fall, None
+        ).reshape(B, max_seeds)
+    else:
+        p_occ = sa_lookup(arrs, meta, row, walk_mask, axis=axis)
     p_occ = jnp.where(res_f, rposf[bidx, sidx].astype(pdt), p_occ)
 
     # ---- mirror back to the reference's seed coordinates ----

@@ -162,3 +162,37 @@ def test_seed_anchors_matches_oracle(dev, rng, sampling_count):
         assert got_f == sorted(fwd_w), f"read {b} forward seeds differ"
         assert got_r == sorted(rev_w), f"read {b} reverse seeds differ"
         assert int(sb.n_total[b]) == len(fwd_w) + len(rev_w)
+
+
+def test_sa_lookup_phased_compaction(rng):
+    """The phased/compacted locate walk (lanes >= 2^16, sa_intv >= 8)
+    must return exactly the plain lockstep walk's positions."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from lordfast_tpu.config import LordfastConfig
+    from lordfast_tpu.index.builder import build_index
+    from lordfast_tpu.ops import fm_index as fm_ops
+
+    r = np.random.default_rng(31)
+    codes = r.integers(0, 4, 30000)
+    seq = "".join("ACGT"[c] for c in codes)
+    with tempfile.NamedTemporaryFile("w", suffix=".fa",
+                                     delete=False) as f:
+        f.write(">c\n" + seq + "\n")
+        path = f.name
+    idx = build_index(path, LordfastConfig(kmer_cache_k=6,
+                                           sa_interval=32),
+                      verbose=False)
+    assert idx.sa_intv == 32
+    arrs = idx.device_arrays()
+    meta = idx.meta
+    n = 1 << 16
+    rows = jnp.asarray(
+        r.integers(0, idx.seq_len + 1, n), dtype=idx.pos_dtype
+    )
+    valid = jnp.asarray(r.random(n) < 0.4)
+    got = fm_ops.sa_lookup(arrs, meta, rows, valid)          # phased
+    want = fm_ops.sa_lookup(arrs, meta, rows[None], valid[None])[0]  # 2D=plain
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
