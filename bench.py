@@ -337,6 +337,22 @@ def main():
     except Exception as e:  # microbench is informational only
         print(f"[bench] DP microbench failed: {e}", file=sys.stderr)
 
+    headline = json.dumps(
+        {
+            "metric": "reads_per_sec",
+            "value": round(rps, 2),
+            "unit": "reads/s/chip",
+            "vs_baseline": round(rps / base_v2, 3),
+            "v1_reads_per_sec": round(rps_v1, 2),
+            "v1_vs_baseline": (round(rps_v1 / base_v1, 3)
+                               if base_v1 else None),
+        }
+    )
+    # print the headline BEFORE the (long) Gbp section as insurance
+    # against an external timeout killing the run mid-Gbp, and again
+    # at the end so it is also the final line
+    print(headline, flush=True)
+
     # ---- Gbp-scale mapping (the BASELINE.json north-star scale) ----
     gbp_npz = CACHE_DIR / "grch_ref.fa.lft.npz"
     if gbp_npz.exists():
@@ -361,19 +377,7 @@ def main():
         except Exception as e:
             print(f"[bench:gbp] failed: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "reads_per_sec",
-                "value": round(rps, 2),
-                "unit": "reads/s/chip",
-                "vs_baseline": round(rps / base_v2, 3),
-                "v1_reads_per_sec": round(rps_v1, 2),
-                "v1_vs_baseline": (round(rps_v1 / base_v1, 3)
-                                   if base_v1 else None),
-            }
-        )
-    )
+    print(headline)
 
 
 if __name__ == "__main__":
