@@ -49,7 +49,10 @@ if not _os.environ.get("LORDFAST_NO_COMPILE_CACHE"):
     # multi-minute tunneled TPU compiles); forced-CPU processes always
     # compile fresh.
     _plat = _os.environ.get("JAX_PLATFORMS", "").strip()
-    if _plat == "cpu":
+    # a process may also force CPU programmatically before importing this
+    # package (jax.config.update("jax_platforms", "cpu")) — honor both
+    _plat_cfg = (getattr(_jax.config, "jax_platforms", None) or "").strip()
+    if _plat == "cpu" or _plat_cfg == "cpu":
         _cache_dir = None
     if _cache_dir is not None:
         try:

@@ -66,6 +66,16 @@ def _load_bwt(path):
     L2 = np.zeros(5, np.int64)
     L2[1:] = raw[2:10].view("<u8").astype(np.int64)
     n = int(L2[4])  # seq_len (bwt_restore_bwt, lib/bwa/bwt.c:459)
+    # the internal layout stores cumulative occ counts as uint32
+    # (container.FMIndex.occ_cp); bwa's on-disk counts are u64, so a
+    # genome where one character's count in the doubled text reaches
+    # 2^32 (total > ~8.5 Gbp at uniform composition) would load silently
+    # corrupted — fail loudly instead
+    if int(np.diff(L2).max()) >= 2**32:
+        raise ValueError(
+            f"{path}: per-character occ counts exceed uint32 "
+            f"(genome too large for the internal occ layout)"
+        )
     stream = raw[10:]
 
     n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL

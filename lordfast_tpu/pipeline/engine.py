@@ -60,6 +60,17 @@ class MappingEngine:
         self.idx = idx
         self.cfg = (cfg or LordfastConfig()).validate()
         self.meta = idx.meta
+        # the voting keys pack the window id into 30 bits (ops/voting.py);
+        # win = t_pos // read_len stays below 2^30 whenever
+        # 2*l_pac / min_read_len does (~54 Gbp at the default floor).
+        # Anything larger would corrupt cross-window neighbor checks
+        # silently — reject it up front (ADVICE r4)
+        if (2 * idx.l_pac) // max(self.cfg.min_read_len, 1) >= 2**30:
+            raise ValueError(
+                "genome too large for the 30-bit voting window ids: "
+                f"2*l_pac={2 * idx.l_pac} with min_read_len="
+                f"{self.cfg.min_read_len} overflows 2^30 windows"
+            )
         self.mesh = mesh
         self.stats = {"reads": 0, "mapped": 0, "chunks": 0, "batches": 0}
         self.metrics = Metrics(verbosity=getattr(self.cfg, "verbosity", 0))
@@ -180,8 +191,10 @@ class MappingEngine:
                 )
             elif key == "solo":
                 bs = self.mesh.size if self.mesh is not None else 1
+                # ceil division: total K = bs * per_read must reach the
+                # 512 candidate cap even when bs does not divide 512
                 cfg = cfg.replace(max_candidates=512,
-                                  compact_windows_per_read=512 // bs)
+                                  compact_windows_per_read=-(-512 // bs))
             self._post_fns[key] = jax.jit(
                 lambda a, s, r, ln, _cfg=cfg: post_seed_stage(
                     a, s, r, ln, _cfg
@@ -232,9 +245,10 @@ class MappingEngine:
 
         self._solo_bs = self.mesh.size if self.mesh is not None else 1
         if self._solo_fn is None and self.cfg.seeder == "extend-whole":
+            # ceil division (see _get_post_fn "solo"): K >= max_candidates
             self._solo_fn = self._make_fn(self.cfg.replace(
                 max_candidates=512,
-                compact_windows_per_read=512 // self._solo_bs,
+                compact_windows_per_read=-(-512 // self._solo_bs),
             ))
         bs = self._solo_bs
         arr = np.full((bs, L), 4, dtype=np.uint8)
