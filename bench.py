@@ -150,18 +150,21 @@ def gen_dataset(dirpath: Path, easy: bool = False):
 
 
 def measure_reference(ref_fa: Path, reads_fq: Path,
-                      n_reads: int = N_TOTAL) -> float | None:
-    """Re-measure the reference binary on this dataset (1 thread, warm,
-    best of 3 of its self-reported mapping time); n_reads must match
-    the dataset so both sides divide by the same count."""
+                      n_reads: int = N_TOTAL, runs: int = 3,
+                      threads: int = 1) -> float | None:
+    """Re-measure the reference binary on this dataset (warm, best of
+    `runs` of its self-reported mapping time); n_reads must match the
+    dataset so both sides divide by the same count.  The v2 baseline
+    uses runs=2: one pass costs ~70 s of the driver's bench budget and
+    this CPU-bound time is stable to ~1-2% run to run."""
     if not REF_BIN.exists():
         return None
     try:
         best = None
-        for _ in range(3):
+        for _ in range(runs):
             p = subprocess.run(
                 [str(REF_BIN), "--search", str(ref_fa), "--seq",
-                 str(reads_fq), "-t", "1", "-o", "/dev/null"],
+                 str(reads_fq), "-t", str(threads), "-o", "/dev/null"],
                 capture_output=True, text=True, timeout=600,
             )
             m = re.search(r"mapping\.\.\. done in ([0-9.]+) seconds",
@@ -242,13 +245,21 @@ def _timed_map(idx, reads, cfg, label):
 
 
 def _load_or_build(ref, idx_path, cfg):
-    from lordfast_tpu.index.builder import build_index, load_index, save_index
+    from lordfast_tpu.index.builder import (
+        build_index, load_index, save_device_cache, save_index,
+    )
 
     if idx_path.exists():
-        return load_index(idx_path)
+        # mmap the device-layout sidecar (written on first run): skips
+        # the npz decompress + pac_words repack on every later run
+        idx = load_index(idx_path, mmap=True)
+        if idx._host_cache is None:
+            save_device_cache(idx, idx_path)
+        return idx
     print(f"[bench] building index for {ref.name}...", file=sys.stderr)
     idx = build_index(ref, cfg, verbose=True)
     save_index(idx, idx_path)
+    save_device_cache(idx, idx_path)
     return idx
 
 
@@ -314,7 +325,7 @@ def main():
 
         save_bwa_index(idx_v1, v1_ref)
 
-    base_v2 = measure_reference(ref, reads)
+    base_v2 = measure_reference(ref, reads, runs=2)
     src = "re-measured" if base_v2 is not None else "recorded constant"
     if base_v2 is None:
         base_v2 = REF_READS_PER_SEC
@@ -355,25 +366,46 @@ def main():
 
     # ---- Gbp-scale mapping (the BASELINE.json north-star scale) ----
     gbp_npz = CACHE_DIR / "grch_ref.fa.lft.npz"
-    if gbp_npz.exists():
+    if gbp_npz.exists() and not os.environ.get("BENCH_NO_GBP"):
         try:
             from lordfast_tpu.index.builder import load_index
 
             print("[bench:gbp] loading 3.1 Gbp index...", file=sys.stderr)
-            gidx = load_index(gbp_npz)
+            t_l = time.time()
+            gidx = load_index(gbp_npz, mmap=True)
+            print(f"[bench:gbp] loaded in {time.time()-t_l:.0f}s "
+                  f"(sa_intv={gidx.sa_intv}, "
+                  f"mmap={'yes' if gidx._host_cache is not None else 'no'})",
+                  file=sys.stderr)
             gbp_reads = CACHE_DIR / "gbp_reads.fq"
             if not gbp_reads.exists():
                 print("[bench:gbp] simulating reads...", file=sys.stderr)
                 gen_gbp_reads(gidx, gbp_reads)
+            # live gbp baseline off our exported bwa-format index when
+            # requested (BENCH_GBP_BASELINE=live, ~60 s: the reference
+            # must load its ~6 GB index; its self-reported mapping time
+            # excludes that load) — else the recorded constant
+            base_g = None
+            if os.environ.get("BENCH_GBP_BASELINE") == "live":
+                base_g = measure_reference(
+                    CACHE_DIR / "grch_ref.fa", gbp_reads, n_reads=512,
+                    runs=1,
+                )
+            if base_g is None:
+                base_g = REF_GBP_READS_PER_SEC
             rps_g, n_g, eng_g = _timed_map(gidx, gbp_reads, cfg, "gbp")
             rec = {
                 "metric": "reads_per_sec_gbp",
                 "value": round(rps_g, 2),
                 "unit": "reads/s/chip (3.1 Gbp genome)",
             }
-            if REF_GBP_READS_PER_SEC:
-                rec["vs_baseline"] = round(rps_g / REF_GBP_READS_PER_SEC, 3)
+            if base_g:
+                rec["vs_baseline"] = round(rps_g / base_g, 3)
             print(json.dumps(rec))
+            headline = json.loads(headline)
+            headline["gbp_reads_per_sec"] = round(rps_g, 2)
+            headline["gbp_vs_baseline"] = rec.get("vs_baseline")
+            headline = json.dumps(headline)
         except Exception as e:
             print(f"[bench:gbp] failed: {e}", file=sys.stderr)
 

@@ -103,7 +103,13 @@ class LordfastConfig:
     # occ==1 resolution is what makes the early compaction safe
     seed_phase1_steps: int = 6
     seed_compact_frac: int = 16
-    max_candidates: int = 32        # windows chained in fine mode per read
+    # windows chained in fine mode per read.  48 keeps cand_sat (the
+    # per-read candidate-cap saturation that forces the 8x-budget device
+    # retry, pipeline/engine.py) from firing on repeat-dense batches —
+    # the reference has no per-read cap below its heap size
+    # (src/LordFAST.cpp:874-904), so a larger C is MORE reference-parity
+    # and removes a second full device pass per batch (VERDICT r4 #3)
+    max_candidates: int = 48
     compact_windows_per_read: int = 8  # avg chaining slots per read (K = B*this)
     max_chain_seeds: int = 512      # seeds entering the chaining DP / window
     # chaining DP bucketing (ops/chain.py _chain_bucketed): every window

@@ -51,6 +51,10 @@ class FMIndex:
     amb_chars: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
 
     _device: Optional[dict] = None
+    # precomputed host_arrays() dict (builder._load_index_mmap memory-maps
+    # the device-layout sidecar cache into here — Gbp indexes then skip
+    # the pac_words repack and npz decompress entirely)
+    _host_cache: Optional[dict] = None
 
     @property
     def pos_dtype(self):
@@ -128,6 +132,8 @@ class FMIndex:
         """
         from ..utils.pack import pack_bwt_words, unpack_pac
 
+        if self._host_cache is not None:
+            return self._host_cache
         pdt = self.pos_dtype
         fwd_codes = unpack_pac(self.pac, 0, self.l_pac)
         bwt_blocks = self.bwt_words.reshape(-1, 8)

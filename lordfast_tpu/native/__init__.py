@@ -66,6 +66,12 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
         ]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.sa_walk_batch.restype = ctypes.c_int
+        lib.sa_walk_batch.argtypes = [
+            u32p, u32p, i64p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, ctypes.c_int64, ctypes.c_int,
+        ]
         u16p = ctypes.POINTER(ctypes.c_uint16)
         lib.decode_colcodes.restype = ctypes.c_int64
         lib.decode_colcodes.argtypes = [
@@ -116,6 +122,35 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
         if rc == 0:
             return sa
     return _suffix_array_doubling(text)
+
+
+def sa_walk_batch(bwt_words, occ_cp, L2, primary, intv, rows,
+                  n_threads=0):
+    """Batched sampled-SA locate walk (bwt_sa, lib/bwa/bwt.c:86-96):
+    returns (final_rows, steps) after walking each row to a multiple of
+    ``intv``; SA[rows[i]] = steps[i] + sampled_sa[final_rows[i] // intv].
+    None when the native library is unavailable (caller falls back to
+    fm_host.sa_lookup_np)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sa_walk_batch"):
+        return None
+    import os
+
+    bw = np.ascontiguousarray(bwt_words, dtype=np.uint32)
+    cp = np.ascontiguousarray(occ_cp, dtype=np.uint32)
+    l2 = np.ascontiguousarray(L2, dtype=np.int64)
+    out_rows = np.ascontiguousarray(rows, dtype=np.int64).copy()
+    steps = np.empty(len(out_rows), dtype=np.int64)
+    nt = n_threads or (os.cpu_count() or 1)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.sa_walk_batch(
+        bw.ctypes.data_as(u32p), cp.ctypes.data_as(u32p),
+        l2.ctypes.data_as(i64p), int(primary), int(intv) - 1,
+        out_rows.ctypes.data_as(i64p), steps.ctypes.data_as(i64p),
+        len(out_rows), int(nt),
+    )
+    return out_rows, steps
 
 
 def _suffix_array_doubling(text: np.ndarray) -> np.ndarray:

@@ -15,6 +15,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -171,6 +172,95 @@ int bwt_from_sa(const uint8_t* T, const int64_t* SA, uint8_t* bwt,
     }
   }
   return *primary >= 0 ? 0 : -1;
+}
+
+// ---------------------------------------------------------------------
+// Batched sampled-SA locate walk (bwt_sa, lib/bwa/bwt.c:86-96): walk each
+// row with inverse-Psi until a row divisible by the sampling interval,
+// recording the step count and final row.  Used by the index builder's
+// SA densification (builder.densify_sa: interval 32 -> 16 re-sampling
+// without a suffix re-sort) — ~3e9 scalar rank queries at Gbp scale,
+// which a tight two-thread C loop does in minutes where vectorized
+// numpy takes hours (gather-bound).
+// Rank semantics are exactly fm_host.occ_np / ops.fm_index.occ
+// (bwt_occ, lib/bwa/bwt.c:107-129), against the builder's layout:
+// bwt_words 16 bases/uint32 (base k at shift (~k&15)<<1) and occ_cp
+// checkpoints every 128 bases.
+// ---------------------------------------------------------------------
+
+namespace {
+
+inline int64_t occ_rank(const uint32_t* bw, const uint32_t* cp,
+                        int64_t primary, int64_t k, int c) {
+  // k in [0, seq_len-1]
+  int64_t kp = k - (k >= primary ? 1 : 0);
+  int64_t blk = kp >> 7;
+  uint32_t off = (uint32_t)(kp & 127);
+  int64_t cnt = cp[blk * 4 + c];
+  const uint32_t* w = bw + blk * 8;
+  int f = (int)(off >> 4);
+  uint32_t r = off & 15;
+  for (int i = 0; i < f; ++i) {
+    uint32_t x = w[i];
+    uint32_t hi = (c & 2) ? x : ~x;
+    uint32_t lo = (c & 1) ? x : ~x;
+    cnt += __builtin_popcount((hi >> 1) & lo & 0x55555555u);
+  }
+  uint32_t x = w[f];
+  uint32_t hi = (c & 2) ? x : ~x;
+  uint32_t lo = (c & 1) ? x : ~x;
+  uint32_t m = (hi >> 1) & lo & 0x55555555u;
+  uint32_t partial = ~((1u << ((15u - r) << 1)) - 1u);
+  cnt += __builtin_popcount(m & partial);
+  return cnt;
+}
+
+void sa_walk_range(const uint32_t* bw, const uint32_t* cp,
+                   const int64_t* L2, int64_t primary, int64_t intv_mask,
+                   int64_t* rows, int64_t* steps, int64_t lo, int64_t hi) {
+  for (int64_t i = lo; i < hi; ++i) {
+    int64_t k = rows[i];
+    int64_t s = 0;
+    while (k & intv_mask) {
+      if (k == primary) {
+        k = 0;
+      } else {
+        int64_t x = k - (k > primary ? 1 : 0);
+        int c = (int)((bw[x >> 4] >> (((~x) & 15) << 1)) & 3);
+        k = L2[c] + occ_rank(bw, cp, primary, k, c);
+      }
+      ++s;
+    }
+    rows[i] = k;
+    steps[i] = s;
+  }
+}
+
+}  // namespace
+
+// rows: in = row ids to locate, out = final (sampled) row; steps: out.
+// sa value = steps[i] + sampled_sa[rows[i] / intv].
+int sa_walk_batch(const uint32_t* bwt_words, const uint32_t* occ_cp,
+                  const int64_t* L2, int64_t primary, int64_t intv_mask,
+                  int64_t* rows, int64_t* steps, int64_t n,
+                  int n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads == 1) {
+    sa_walk_range(bwt_words, occ_cp, L2, primary, intv_mask, rows, steps,
+                  0, n);
+    return 0;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+    if (lo >= hi) break;
+    ts.emplace_back(sa_walk_range, bwt_words, occ_cp, L2, primary,
+                    intv_mask, rows, steps, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+  return 0;
 }
 
 }  // extern "C"

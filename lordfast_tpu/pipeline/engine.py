@@ -455,16 +455,25 @@ class MappingEngine:
         return descs
 
     def _run_gap_descs(self, items, reads_dev):
-        """Batched device Myers DP over arbitrary gap descriptors.
+        """Batched device Myers DP over arbitrary gap descriptors:
+        dispatch + blocking collect (see _dispatch_gap_descs)."""
+        return self._collect_gap_descs(
+            self._dispatch_gap_descs(items, reads_dev)
+        )
+
+    def _dispatch_gap_descs(self, items, reads_dev):
+        """Asynchronously dispatch the batched device Myers DP over
+        arbitrary gap descriptors.
 
         items: list of (key, desc) with desc = (row_j, q_start, q_len,
         q_rc, t_start, t_len, t_rc, is_shw) in forward-read-row / global
         genome coordinates (see _gap_descriptors).  Buckets by padded
-        size, dispatches all sub-batches asynchronously, then does ONE
-        blocking device_get (roundtrip latency dominates on tunneled
-        backends).  Returns {key: (dist, end, moves)}; descriptors larger
-        than every bucket are omitted (the native stitcher computes those
-        locally)."""
+        size and dispatches all sub-batches without blocking; the
+        returned pending list feeds _collect_gap_descs, whose ONE
+        blocking device_get can then overlap the next batch's host work
+        (roundtrip latency dominates on tunneled backends).  Descriptors
+        larger than every bucket are omitted (the native stitcher
+        computes those locally)."""
         cfg = self.cfg
         buckets = cfg.gap_buckets
         per_bucket = [[] for _ in buckets]
@@ -560,7 +569,12 @@ class MappingEngine:
                 pending.append((part, res))
 
         self.metrics.timers["gap_pack"] += time.time() - t_pack
+        return pending
 
+    def _collect_gap_descs(self, pending):
+        """Blocking half of _run_gap_descs: fetch every dispatched
+        sub-batch in one device_get and expand the per-column codes into
+        move arrays.  Returns {key: (dist, end, moves)}."""
         results = {}
         if pending:
             import jax
@@ -587,13 +601,24 @@ class MappingEngine:
     def _precompute_gaps(self, jobs, reads_dev):
         """Batched device gap-DP over every plain-path DP site of every
         selected window in the batch (SURVEY.md §7 step 5), assembled
-        into per-window gap tables consumed by the native stitcher."""
+        into per-window gap tables consumed by the native stitcher.
+        Dispatch and collect are split so the blocking collect of batch
+        k can overlap the host work of batch k+1 (software pipeline in
+        _map_chunk)."""
+        return self._collect_jobs_gaps(
+            jobs, self._dispatch_jobs_gaps(jobs, reads_dev)
+        )
+
+    def _dispatch_jobs_gaps(self, jobs, reads_dev):
         items = [
             ((job_id, d[0]), d[1:])
             for job_id, job in enumerate(jobs)
             for d in job["descs"]
         ]
-        results = self._run_gap_descs(items, reads_dev)
+        return self._dispatch_gap_descs(items, reads_dev)
+
+    def _collect_jobs_gaps(self, jobs, pending):
+        results = self._collect_gap_descs(pending)
 
         tables = {}
         for (job_id, slot), (dist, end, moves) in results.items():
@@ -1072,6 +1097,7 @@ class MappingEngine:
             for name in ("seeds", "candidates", "fine_reads",
                          "chained_windows"):
                 self.metrics.add(name, int(out[f"stat_{name}"]))
+            t_sel = time.time()
             rows_by_read = _rows_by_read(out)
 
             # window selection pre-pass: find chains exceeding the eager
@@ -1129,6 +1155,7 @@ class MappingEngine:
                                    "solo retry; emitted unmapped",
                             )
 
+            self.metrics.timers["py_select"] += time.time() - t_sel
             lazy = []
             ncap = out["chain_ql"].shape[1]
             for j in range(len(idxs)):
@@ -1148,6 +1175,7 @@ class MappingEngine:
                     )
 
             # stitch-job construction per read
+            t_jb = time.time()
             jobs = []
             read_jobs = {}  # batch row -> (is_fine, [job ids or None])
             for j, i in enumerate(idxs):
@@ -1183,9 +1211,19 @@ class MappingEngine:
                     slots.append(len(jobs))
                     jobs.append(job)
                 read_jobs[j] = (is_fine, slots)
+            self.metrics.timers["py_jobbuild"] += time.time() - t_jb
 
+            # dispatch the gap DPs asynchronously; the blocking collect
+            # happens in finish() one pipeline step later, overlapping
+            # this wait with the NEXT batch's host-side work
             with self.metrics.timer("gap_dp"):
-                tables = self._precompute_gaps(jobs, reads_dev)
+                pending = self._dispatch_jobs_gaps(jobs, reads_dev)
+            return (idxs, batch, jobs, read_jobs, reads_dev, pending)
+
+        def finish(ctx):
+            idxs, batch, jobs, read_jobs, reads_dev, pending = ctx
+            with self.metrics.timer("gap_dp"):
+                tables = self._collect_jobs_gaps(jobs, pending)
 
             esc_tables = {}
             if self._esc_device:
@@ -1211,17 +1249,28 @@ class MappingEngine:
                     mappings.sort(key=lambda m: -m.total_score)
                 results[i] = mappings
 
-        # software pipeline: keep up to `depth` batches in flight on the
-        # device so host stitching of batch k overlaps device compute of
-        # batch k+1 (JAX dispatch is async; device_get is the sync point)
+        # two-level software pipeline: up to `depth` device batches in
+        # flight (host work of batch k overlaps device compute of k+1;
+        # JAX dispatch is async, device_get is the sync point), plus a
+        # one-step stage split inside each batch — resolve() ends at the
+        # async gap-DP dispatch, finish() starts at its blocking collect
+        # — so the gap-kernel wait of batch k overlaps the host
+        # selection/job-assembly of batch k+1
         depth = 2
         inflight = []
+        staged = []
         for s in range(0, len(order), B):
             inflight.append(dispatch(s))
             if len(inflight) > depth:
-                resolve(*inflight.pop(0))
+                staged.append(resolve(*inflight.pop(0)))
+                if len(staged) > 1:
+                    finish(staged.pop(0))
         for item in inflight:
-            resolve(*item)
+            staged.append(resolve(*item))
+            if len(staged) > 1:
+                finish(staged.pop(0))
+        for ctx in staged:
+            finish(ctx)
 
         with self.metrics.timer("emit"):
             wi = 0

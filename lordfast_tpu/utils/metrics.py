@@ -72,6 +72,7 @@ class Metrics:
             f"device {t['device']:.2f}s gap_dp {t['gap_dp']:.2f}s "
             f"(pack {t['gap_pack']:.2f} wait {t['gap_wait']:.2f} "
             f"unpack {t['gap_unpack']:.2f}) "
+            f"py {t['py_select'] + t['py_jobbuild']:.2f}s "
             f"stitch {t['stitch']:.2f}s emit {t['emit']:.2f}s"
         )
 

@@ -208,6 +208,65 @@ def test_save_load_roundtrip(small_index, tmp_path):
     np.testing.assert_array_equal(idx2.kcache_beg, idx.kcache_beg)
 
 
+def _write_fa(tmp_path, rng, n=30011):
+    codes = rng.integers(0, 4, size=n)
+    p = tmp_path / "g.fa"
+    seq = "".join("ACGT"[c] for c in codes)
+    with open(p, "w") as f:
+        f.write(">g\n")
+        for i in range(0, len(seq), 70):
+            f.write(seq[i : i + 70] + "\n")
+    return p
+
+
+def test_densify_sa_matches_fresh_build(tmp_path, rng):
+    """densify_sa(intv 32 -> 16/8) is bit-equal to building at the
+    smaller interval from scratch (the walk-once-at-build-time argument
+    in builder.densify_sa)."""
+    from lordfast_tpu.config import LordfastConfig
+    from lordfast_tpu.index.builder import densify_sa
+
+    p = _write_fa(tmp_path, rng)
+    cfg32 = LordfastConfig(kmer_cache_k=4, sa_interval=32)
+    idx32 = build_index(p, cfg32, verbose=False)
+    for new in (16, 8):
+        fresh = build_index(
+            p, cfg32.replace(sa_interval=new), verbose=False
+        )
+        dens = densify_sa(idx32, new, batch=1 << 12, verbose=False)
+        assert dens.sa_intv == new
+        np.testing.assert_array_equal(dens.sa_samp, fresh.sa_samp)
+        # shared arrays untouched
+        np.testing.assert_array_equal(dens.bwt_words, idx32.bwt_words)
+
+
+def test_device_cache_roundtrip(tmp_path, rng):
+    """save_device_cache + load_index(mmap=True) reproduce host_arrays
+    and the host-query surface bit-for-bit."""
+    from lordfast_tpu.config import LordfastConfig
+    from lordfast_tpu.index.builder import save_device_cache
+
+    p = _write_fa(tmp_path, rng)
+    cfg = LordfastConfig(kmer_cache_k=4, sa_interval=32)
+    idx = build_index(p, cfg, verbose=False)
+    npz = tmp_path / "g.lft.npz"
+    save_index(idx, npz)
+    save_device_cache(idx, npz)
+    m = load_index(npz, mmap=True)
+    assert m._host_cache is not None  # actually took the mmap path
+    want = idx.host_arrays()
+    got = m.host_arrays()
+    assert sorted(want) == sorted(got)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]), err_msg=k)
+    assert m.meta == idx.meta
+    assert m.contig_names == idx.contig_names
+    b, ln = 123, 456
+    assert m.get_ref_str(b, ln) == idx.get_ref_str(b, ln)
+    assert m.chr_boundaries(10, 20) == idx.chr_boundaries(10, 20)
+
+
 def test_contig_queries(small_index):
     idx, contigs = small_index
     assert idx.pos2rid(0) == 0
