@@ -140,9 +140,13 @@ class LordfastConfig:
     # kernel, CPT=8) covers every gap the bench/SV datasets produce —
     # gaps_host stays 0; anything even larger (a >4 kb unanchored
     # region inside one window) still falls back to the host stitcher
-    gap_buckets: tuple = ((32, 48, 4096), (64, 96, 2048),
-                          (128, 160, 1024), (256, 320, 512),
-                          (512, 576, 256), (32, 4096, 512),
+    # G sized so a typical 128-read batch needs 1-2 parts per bucket:
+    # kernel-launch and fetch round-trips, not DP cells, dominate the
+    # gap stage on tunneled backends (the Pallas grid tiles G internally
+    # to the VMEM budget, so a larger G costs no VMEM)
+    gap_buckets: tuple = ((32, 48, 8192), (64, 96, 4096),
+                          (128, 160, 4096), (256, 320, 2048),
+                          (512, 576, 1024), (32, 4096, 512),
                           (64, 2304, 512), (128, 1152, 512),
                           (2048, 2176, 64), (4096, 4352, 32))
     # device affine-extension bucket shapes (ops/affine_pl.py):

@@ -93,15 +93,20 @@ def select_window_seeds(seeds, cw: CompactWindows, read_lens, arrs, cfg,
     N = n_sel or cfg.max_chain_seeds
     pdt = seeds.t_pos.dtype
 
-    # one composite-key sort per read: (strand, tPos)
+    # one composite-key sort per read: (strand, tPos); the original slot
+    # index rides along — it is the reference's seed-LIST position
+    # (anchors in sample order, occurrences in SA-row order), which
+    # decides equal-qPos ordering in the DP below
     BIGP = jnp.int64(2**40)
     key = jnp.where(
         seeds.valid,
         seeds.is_rev.astype(jnp.int64) * BIGP + seeds.t_pos.astype(jnp.int64),
         jnp.int64(2**62),
     )
-    key_s, t_s, q_s, l_s = jax.lax.sort(
-        (key, seeds.t_pos, seeds.q_pos, seeds.length), num_keys=1
+    sidx0 = jnp.broadcast_to(jnp.arange(MS, dtype=jnp.int32)[None, :],
+                             (B, MS))
+    key_s, t_s, q_s, l_s, x_s = jax.lax.sort(
+        (key, seeds.t_pos, seeds.q_pos, seeds.length, sidx0), num_keys=1
     )
 
     rb = cw.read_idx  # (K,)
@@ -141,11 +146,16 @@ def select_window_seeds(seeds, cw: CompactWindows, read_lens, arrs, cfg,
     q = jnp.where(ok, q_s[rb[:, None], gidx], 0)
     t = jnp.where(ok, t_s[rb[:, None], gidx], 0)
     ln = jnp.where(ok, l_s[rb[:, None], gidx], 0)
+    so = jnp.where(ok, x_s[rb[:, None], gidx], 0)
 
-    # sort window seeds by (qPos, tPos) for the DP (std::sort by qPos,
-    # src/Chain.cpp:244; tPos as deterministic tiebreak)
+    # sort window seeds by (qPos, seed-list position) for the DP: the
+    # reference std::sort's by qPos only (src/Chain.cpp:244), and for
+    # the window sizes where exact score ties actually occur (< 16
+    # seeds) libstdc++ runs insertion sort — STABLE — so equal-qPos
+    # seeds keep their seed-list order.  tPos order here demonstrably
+    # flips equal-score chain ties (1600-copy paging stress test).
     BIGQ = jnp.int64(2**31)
-    skey = jnp.where(ok, q.astype(jnp.int64) * BIGQ + t.astype(jnp.int64),
+    skey = jnp.where(ok, q.astype(jnp.int64) * BIGQ + so.astype(jnp.int64),
                      jnp.int64(2**62))
     sk, q2, t2, l2, ok2 = jax.lax.sort(
         (skey, q.astype(jnp.int32), t, ln.astype(jnp.int32),

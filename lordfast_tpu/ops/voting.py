@@ -32,7 +32,7 @@ class CandidateBatch(NamedTuple):
     min_score: jnp.ndarray  # (B,) float32: fine-mode vote threshold
 
 
-def vote_windows(seeds, read_lens, cfg):
+def vote_windows(seeds, read_lens, cfg, page=None):
     """seeds: SeedBatch; read_lens: (B,) int32.
 
     Dispatcher: the flat path gathers every read's (contiguous) valid
@@ -40,21 +40,28 @@ def vote_windows(seeds, read_lens, cfg):
     elements than the padded (B, 2*max_seeds) layout when seed tensors
     are mostly padding (the common case).  Batches whose total vote
     count exceeds F fall back to the wide per-read path; both produce
-    identical CandidateBatch results."""
+    identical CandidateBatch results.
+
+    page: optional traced int32 — return candidate ranks
+    [C*page, C*(page+1)) instead of the top C, with is_fine/min_score
+    still computed from the GLOBAL top two.  This powers the engine's
+    window paging for reads with more qualifying windows than one
+    pipeline budget (the reference chains every qualifying window,
+    src/LordFAST.cpp:874-904); page=None keeps the original HLO."""
     B, MS = seeds.t_pos.shape
     F = 131072
     if 2 * B * MS <= F:
-        return _vote_windows_wide(seeds, read_lens, cfg)
+        return _vote_windows_wide(seeds, read_lens, cfg, page)
     total_votes = 2 * seeds.n_total.astype(jnp.int32).sum()
     return jax.lax.cond(
         total_votes <= F,
-        lambda ops: _vote_windows_flat(*ops, cfg, F),
-        lambda ops: _vote_windows_wide(*ops, cfg),
+        lambda ops: _vote_windows_flat(*ops, cfg, F, page),
+        lambda ops: _vote_windows_wide(*ops, cfg, page),
         (seeds, read_lens),
     )
 
 
-def _vote_windows_flat(seeds, read_lens, cfg, F: int):
+def _vote_windows_flat(seeds, read_lens, cfg, F: int, page=None):
     """Flat-compacted voting: seeds' valid slots are contiguous per read
     (fm_index locate fills slots 0..n-1), so vote v of the global stream
     maps back to (read, slot, which-vote) with a searchsorted over the
@@ -153,22 +160,43 @@ def _vote_windows_flat(seeds, read_lens, cfg, F: int):
     )
     start_pos = jax.lax.cummax(jnp.where(is_start2, idx, -1))
     rank = idx - start_pos
-    take = (rank < C) & (k1s != jnp.int64(2**62)) & (sc_s > 0)
+    live = (k1s != jnp.int64(2**62)) & (sc_s > 0)
+    if page is None:
+        take = (rank < C) & live
+        prank = rank
+    else:
+        p0 = jnp.asarray(page, jnp.int32) * C
+        take = (rank >= p0) & (rank < p0 + C) & live
+        prank = rank - p0
 
     cnt = jnp.zeros((B, C), jnp.int32).at[
-        jnp.where(take, b2, 0), jnp.where(take, rank, 0)
+        jnp.where(take, b2, 0), jnp.where(take, prank, 0)
     ].max(jnp.where(take, sc_s, 0), mode="drop")
     keyo = jnp.full((B, C), -1, jnp.int32).at[
-        jnp.where(take, b2, 0), jnp.where(take, rank, 0)
+        jnp.where(take, b2, 0), jnp.where(take, prank, 0)
     ].max(jnp.where(take, k2s, -1), mode="drop")
     valid = cnt > 0
 
     # best = -1 for candidate-less reads, matching the wide path's
     # top_k over a score array filled with -1 (is_fine/min_score are
     # only consumed when cand_valid0 holds, but the fine-read counter
-    # sees them)
-    best = jnp.where(valid[:, 0], cnt[:, 0], -1).astype(jnp.float32)
-    second = jnp.where(valid[:, 1], cnt[:, 1], 0).astype(jnp.float32)
+    # sees them).  On a paged call these come from the GLOBAL ranks
+    # 0/1 (scattered separately), so every page agrees on the fine-mode
+    # decision and threshold.
+    if page is None:
+        best = jnp.where(valid[:, 0], cnt[:, 0], -1).astype(jnp.float32)
+        second = jnp.where(valid[:, 1], cnt[:, 1], 0).astype(jnp.float32)
+    else:
+        t0 = (rank == 0) & live
+        t1 = (rank == 1) & live
+        g0 = jnp.full(B, -1, jnp.int32).at[
+            jnp.where(t0, b2, 0)
+        ].max(jnp.where(t0, sc_s, -1), mode="drop")
+        g1 = jnp.zeros(B, jnp.int32).at[
+            jnp.where(t1, b2, 0)
+        ].max(jnp.where(t1, sc_s, 0), mode="drop")
+        best = g0.astype(jnp.float32)
+        second = g1.astype(jnp.float32)
     is_fine = best < cfg.score_ratio * second
     min_score = best / cfg.score_ratio
 
@@ -182,7 +210,7 @@ def _vote_windows_flat(seeds, read_lens, cfg, F: int):
     )
 
 
-def _vote_windows_wide(seeds, read_lens, cfg):
+def _vote_windows_wide(seeds, read_lens, cfg, page=None):
     """Per-read padded voting (original path; the flat path's fallback).
 
     Scatter-free: after the per-read key sort, segment totals and the
@@ -256,12 +284,39 @@ def _vote_windows_wide(seeds, read_lens, cfg):
     is_max = is_end & left_ok_e & right_ok
 
     score = jnp.where(is_max, total, -1)
-    top_cnt, top_pos = jax.lax.top_k(score, C)  # ties: lowest index first
+    if page is None:
+        top_cnt, top_pos = jax.lax.top_k(score, C)  # ties: lowest idx 1st
+    else:
+        # rank window [C*page, C*(page+1)) with top_k's exact tie order
+        # (score desc, position asc): one ascending sort of the packed
+        # key, then a dynamic slice at the page offset.  31-bit position
+        # field: (2^31-1 - score) reaches 2^31 at score=-1, so a 32-bit
+        # shift would overflow int64 and sort absent windows first.
+        pos_a = jnp.arange(n2, dtype=jnp.int64)[None, :]
+        pk = ((jnp.int64(2**31 - 1) - score.astype(jnp.int64)) << 31) \
+            | pos_a
+        pk_s = jnp.sort(pk, axis=1)
+        p0 = jnp.asarray(page, jnp.int32) * C
+        sl = jax.lax.dynamic_slice_in_dim(pk_s, p0, C, axis=1)
+        top_cnt = (jnp.int64(2**31 - 1) - (sl >> 31)).astype(jnp.int32)
+        top_pos = (sl & jnp.int64(2**31 - 1)).astype(jnp.int32)
+        gbest = (jnp.int64(2**31 - 1) - (pk_s[:, 0] >> 31)).astype(
+            jnp.int32
+        )
+        gsecond = (jnp.int64(2**31 - 1) - (pk_s[:, 1] >> 31)).astype(
+            jnp.int32
+        )
     top_key = jnp.take_along_axis(keys_s, top_pos, axis=1)
     valid = top_cnt > 0
 
-    best = top_cnt[:, 0].astype(jnp.float32)
-    second = jnp.where(valid[:, 1], top_cnt[:, 1], 0).astype(jnp.float32)
+    if page is None:
+        best = top_cnt[:, 0].astype(jnp.float32)
+        second = jnp.where(valid[:, 1], top_cnt[:, 1], 0).astype(
+            jnp.float32
+        )
+    else:
+        best = gbest.astype(jnp.float32)
+        second = jnp.where(gsecond > 0, gsecond, 0).astype(jnp.float32)
     is_fine = best < cfg.score_ratio * second
     min_score = best / cfg.score_ratio
 

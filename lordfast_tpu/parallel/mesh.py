@@ -43,7 +43,7 @@ def device_pipeline(meta, cfg):
     meta_t = tuple(sorted((k, v) for k, v in meta.items()
                           if k != "pos_dtype"))
 
-    def fn(arrs, reads, lens, pos):
+    def fn(arrs, reads, lens, pos, page=None):
         with jax.named_scope("lf_seed"):
             seeds = fm_ops._seed_anchors_impl(
                 arrs, reads, lens, pos, meta_t,
@@ -51,7 +51,7 @@ def device_pipeline(meta, cfg):
                 cfg.max_seeds_per_read, cfg.seed_phase1_steps,
                 cfg.seed_compact_frac,
             )
-        return post_seed_stage(arrs, seeds, reads, lens, cfg)
+        return post_seed_stage(arrs, seeds, reads, lens, cfg, page)
 
     return fn
 
@@ -68,13 +68,17 @@ def _need_mask(cands, cfg):
     )
 
 
-def post_seed_stage(arrs, seeds, reads, lens, cfg):
+def post_seed_stage(arrs, seeds, reads, lens, cfg, page=None):
     """Everything after seeding (voting, selection, chaining, host-payload
     trimming) — shared by the replicated and sharded-index pipelines.
     These stages are pure per-read, so they shard over the read axis with
-    no collectives regardless of where the seeds came from."""
+    no collectives regardless of where the seeds came from.
+
+    page: optional traced int32 candidate-rank page (see
+    vote_windows); the engine's window paging for reads whose
+    qualifying windows exceed one pipeline budget."""
     with jax.named_scope("lf_vote"):
-        cands = vote_ops.vote_windows(seeds, lens, cfg)
+        cands = vote_ops.vote_windows(seeds, lens, cfg, page)
     k_windows = reads.shape[0] * cfg.compact_windows_per_read
     with jax.named_scope("lf_select"):
         cw = chain_ops.compact_candidates(cands, cfg, k_windows)

@@ -77,7 +77,7 @@ def shard_index_arrays(idx, mesh: Mesh, axis: str = "data",
 
 
 def sharded_index_pipeline(idx, cfg, mesh: Mesh, axis: str = "data",
-                           arrs=None):
+                           arrs=None, paged: bool = False):
     """The full device stage with the index sharded over ``axis``.
 
     Seeding runs under shard_map with interval-routed rank/locate
@@ -114,10 +114,16 @@ def sharded_index_pipeline(idx, cfg, mesh: Mesh, axis: str = "data",
         check_vma=False,
     )
 
-    def fn(a, reads, lens, pos):
+    def fn(a, reads, lens, pos, page=None):
         with jax.named_scope("lf_seed_sharded"):
             seeds = seed_sharded(a, reads, lens, pos)
-        return post_seed_stage(a, seeds, reads, lens, cfg)
+        return post_seed_stage(a, seeds, reads, lens, cfg, page)
 
-    jitted = jax.jit(fn, in_shardings=(None, shard0, shard0, shard0))
+    if paged:
+        jitted = jax.jit(
+            lambda a, r, ln, p, page: fn(a, r, ln, p, page),
+            in_shardings=(None, shard0, shard0, shard0, None),
+        )
+    else:
+        jitted = jax.jit(fn, in_shardings=(None, shard0, shard0, shard0))
     return jitted, arrs

@@ -195,14 +195,24 @@ class MappingEngine:
                 # 512 candidate cap even when bs does not divide 512
                 cfg = cfg.replace(max_candidates=512,
                                   compact_windows_per_read=-(-512 // bs))
-            self._post_fns[key] = jax.jit(
-                lambda a, s, r, ln, _cfg=cfg: post_seed_stage(
-                    a, s, r, ln, _cfg
+            if key == "solo":  # paged (see _solo_retry)
+                self._post_fns[key] = jax.jit(
+                    lambda a, s, r, ln, page, _cfg=cfg: post_seed_stage(
+                        a, s, r, ln, _cfg, page
+                    )
                 )
-            )
+            else:
+                self._post_fns[key] = jax.jit(
+                    lambda a, s, r, ln, _cfg=cfg: post_seed_stage(
+                        a, s, r, ln, _cfg
+                    )
+                )
         return self._post_fns[key]
 
-    def _make_fn(self, cfg_var):
+    def _make_fn(self, cfg_var, paged: bool = False):
+        """jit the device pipeline for cfg_var.  paged=True: the jitted
+        function takes a 5th traced candidate-rank page argument (the
+        window-paging escalation; one compile covers every page)."""
         import jax
 
         from ..parallel.mesh import device_pipeline
@@ -211,15 +221,18 @@ class MappingEngine:
             from ..parallel.sharded_index import sharded_index_pipeline
 
             fn, _ = sharded_index_pipeline(
-                self.idx, cfg_var, self.mesh, arrs=self.arrs
+                self.idx, cfg_var, self.mesh, arrs=self.arrs, paged=paged
             )
             return fn
         fn = device_pipeline(self.meta, cfg_var)
+        if paged:
+            base = fn
+            fn = lambda a, r, ln, p, page: base(a, r, ln, p, page)
         if self.mesh is not None:
-            return jax.jit(
-                fn, in_shardings=(None, self._shard0, self._shard0,
-                                  self._shard0),
-            )
+            sh = (None, self._shard0, self._shard0, self._shard0)
+            if paged:
+                sh = sh + (None,)
+            return jax.jit(fn, in_shardings=sh)
         return jax.jit(fn)
 
     def _get_big_fn(self):
@@ -233,13 +246,17 @@ class MappingEngine:
             ))
         return self._big_fn
 
-    def _solo_retry(self, codes, L):
+    def _solo_retry(self, codes, L, page: int = 0):
         """Last-resort retry for a read whose candidate windows overflow
         even the 8x shared budget: run it ALONE through a pipeline whose
         per-read candidate cap and window slots both reach 512, so every
         qualifying window gets a chaining slot (the reference chains all
-        of them, src/LordFAST.cpp:874-904).  Returns (out, chains_dev)
-        with the read at batch row 0."""
+        of them, src/LordFAST.cpp:874-904).  page > 0 selects candidate
+        ranks [512*page, 512*(page+1)) — the caller pages until a page
+        is not saturated, so reads with thousands of qualifying windows
+        still chain every one (the page index is a traced scalar: one
+        compile covers all pages).  Returns (out, chains_dev) with the
+        read at batch row 0."""
         import jax
         import numpy as np
 
@@ -249,17 +266,18 @@ class MappingEngine:
             self._solo_fn = self._make_fn(self.cfg.replace(
                 max_candidates=512,
                 compact_windows_per_read=-(-512 // self._solo_bs),
-            ))
+            ), paged=True)
         bs = self._solo_bs
         arr = np.full((bs, L), 4, dtype=np.uint8)
         arr[0, : len(codes)] = codes
         lens = np.zeros(bs, np.int32)
         lens[0] = len(codes)
         rd = self._put_reads(arr)
+        pg = np.int32(page)
         if self.cfg.seeder != "extend-whole":
             sb = self._host_seeds(arr, lens)
             fn = self._get_post_fn("solo")
-            _, chains, host_out = fn(self.arrs, sb, rd, lens)
+            _, chains, host_out = fn(self.arrs, sb, rd, lens, pg)
             return jax.device_get(host_out), chains
         pos = fm_ops.sample_positions_host(lens, self.cfg.sampling_count)
         if self._shard0 is not None:
@@ -267,7 +285,8 @@ class MappingEngine:
             pos = jax.device_put(np.asarray(pos), self._shard0)
         else:
             lens_d = lens
-        _, chains, host_out = self._solo_fn(self.arrs, rd, lens_d, pos)
+        _, chains, host_out = self._solo_fn(self.arrs, rd, lens_d, pos,
+                                            pg)
         return jax.device_get(host_out), chains
 
     # ---- per-read host resolution ----
@@ -411,6 +430,69 @@ class MappingEngine:
                 push_heap(heap)
         return [k for _, k in heap]
 
+    @classmethod
+    def _fine_heap_select_multi(cls, pairs, ctxs, max_map):
+        """_fine_heap_select over windows spread across several device
+        contexts (the window-paging escalation): pairs = [(ctx_id, row)].
+        Windows are deduped by (strand, winId) — page boundaries can
+        overlap at the wide path's sort clamp — and scanned in the same
+        fwd-then-rev ascending-winId order; returns selected pairs."""
+        seen = set()
+        items = []
+        for ci, k in pairs:
+            out = ctxs[ci][0]
+            key = (int(out["cw_is_rev"][k]), int(out["cw_win_id"][k]))
+            if key in seen:
+                continue
+            seen.add(key)
+            items.append((key, np.float32(out["chain_score"][k]),
+                          (ci, k)))
+        items.sort(key=lambda x: x[0])
+        # identical heap mechanics to _fine_heap_select
+        heap = []
+
+        def push(h):
+            hole = len(h) - 1
+            value = h[hole]
+            parent = (hole - 1) >> 1
+            while hole > 0 and h[parent][0] > value[0]:
+                h[hole] = h[parent]
+                hole = parent
+                parent = (hole - 1) >> 1
+            h[hole] = value
+
+        def pop(h):
+            n = len(h) - 1
+            value = h[n]
+            h[n] = h[0]
+            hole, top, second = 0, 0, 0
+            while second < (n - 1) >> 1:
+                second = 2 * (second + 1)
+                if h[second][0] > h[second - 1][0]:
+                    second -= 1
+                h[hole] = h[second]
+                hole = second
+            if (n & 1) == 0 and second == (n - 2) >> 1:
+                second = 2 * (second + 1)
+                h[hole] = h[second - 1]
+                hole = second - 1
+            parent = (hole - 1) >> 1
+            while hole > top and h[parent][0] > value[0]:
+                h[hole] = h[parent]
+                hole = parent
+                parent = (hole - 1) >> 1
+            h[hole] = value
+
+        for _, s, payload in items:
+            if len(heap) < max_map:
+                heap.append((s, payload))
+                push(heap)
+            elif s > heap[0][0]:
+                pop(heap)
+                heap[-1] = (s, payload)
+                push(heap)
+        return [p for _, p in heap]
+
     def _gap_descriptors(self, j, read_len, is_rev, cq, ct, cl,
                          chr_beg, chr_end):
         """Descriptor list for the plain-path DP sites of one window
@@ -497,7 +579,7 @@ class MappingEngine:
         if n_host:
             self.metrics.add("gaps_host", n_host)
 
-        pending = []  # (part, GapResult-like)
+        pending = []  # ("cols", parts, merged_arrays, gps) | ("plain", ...)
         t_pack = time.time()
         for bi, per in enumerate(per_bucket):
             if not per:
@@ -508,6 +590,7 @@ class MappingEngine:
             # trace+compile synchronously on first dispatch; book that
             # under gap_compile, not gap_pack (steady-state metric)
             shape_key = (Q, T, tuple(reads_dev.shape))
+            bparts = []  # GapColsResult parts of THIS bucket, merged below
             for s in range(0, len(per), G):
                 part = per[s : s + G]
                 g = len(part)
@@ -555,18 +638,64 @@ class MappingEngine:
                     self.metrics.timers["gap_compile"] += dt
                     t_pack += dt  # exclude compile from gap_pack
                 if isinstance(res, gap_dp_pallas.GapColsResult):
-                    # trim the (T, G) colcode transfer to the used lanes
-                    # (padded to a lane tile) and to the rows the part's
-                    # deepest target can actually reach — the tunnel link
-                    # (~45 MB/s) makes colcode bytes the dominant gap-DP
-                    # wait cost, and deep-T buckets (e.g. (32, 4096)) are
-                    # mostly row padding for typical gaps
+                    # row/lane trim bounds: used lanes padded to a lane
+                    # tile, rows to the part's deepest target
                     gp = 128 * ((len(part) + 127) // 128)
                     tp = 8 * ((int(desc["t_len"][: len(part)].max()) + 7)
                               // 8)
-                    if gp < res.colcode.shape[1] or tp < res.colcode.shape[0]:
-                        res = res._replace(colcode=res.colcode[:tp, :gp])
-                pending.append((part, res))
+                    bparts.append((part, res, min(gp, G),
+                                   min(tp, res.colcode.shape[0])))
+                else:
+                    pending.append(("plain", [part], res, [len(part)]))
+            if bparts:
+                # merge the bucket's parts into ONE array quartet on
+                # device: the blocking device_get fetches arrays one
+                # round-trip each (~5 ms latency apiece over a tunneled
+                # backend), so 4 arrays per BUCKET instead of 4 per PART
+                # is what makes the wait latency-proportional to ~6
+                # buckets, not ~50 parts.  Lanes are trimmed per part
+                # and rows to the bucket-wide max before the concat.
+                import jax.numpy as jnp
+
+                tp = max(x[3] for x in bparts)
+                parts = [x[0] for x in bparts]
+                gps = [x[2] for x in bparts]
+                if len(bparts) == 1:
+                    _, res, gp, _ = bparts[0]
+                    merged = (res.dist[:gp], res.end[:gp], res.lead[:gp],
+                              res.colcode[:tp, :gp])
+                else:
+                    merged = (
+                        jnp.concatenate(
+                            [r.dist[:gp] for _, r, gp, _ in bparts]),
+                        jnp.concatenate(
+                            [r.end[:gp] for _, r, gp, _ in bparts]),
+                        jnp.concatenate(
+                            [r.lead[:gp] for _, r, gp, _ in bparts]),
+                        jnp.concatenate(
+                            [r.colcode[:tp, :gp]
+                             for _, r, gp, _ in bparts], axis=1),
+                    )
+                pending.append(("cols", parts, merged, gps))
+
+        # final cross-bucket merge: ONE (dist, end, lead, colcode-flat)
+        # quartet for the whole dispatch — the blocking collect then
+        # costs 4 fetch round-trips total instead of 4 per bucket
+        cols = [p for p in pending if p[0] == "cols"]
+        if len(cols) > 1:
+            import jax.numpy as jnp
+
+            plains = [p for p in pending if p[0] != "cols"]
+            meta = []  # (parts, gps, tp_rows, lane_width) per bucket
+            for _, parts, (d, e, ld, cc), gps in cols:
+                meta.append((parts, gps, cc.shape[0], cc.shape[1]))
+            merged = (
+                jnp.concatenate([m[2][0] for m in cols]),
+                jnp.concatenate([m[2][1] for m in cols]),
+                jnp.concatenate([m[2][2] for m in cols]),
+                jnp.concatenate([m[2][3].ravel() for m in cols]),
+            )
+            pending = [("colsx", meta, merged, None)] + plains
 
         self.metrics.timers["gap_pack"] += time.time() - t_pack
         return pending
@@ -580,21 +709,58 @@ class MappingEngine:
             import jax
 
             t_wait = time.time()
-            fetched = jax.device_get([tuple(r) for _, r in pending])
+            fetched = jax.device_get(
+                [tuple(r) if kind == "plain" else r
+                 for kind, _, r, _ in pending]
+            )
             self.metrics.timers["gap_wait"] += time.time() - t_wait
             t_unpack = time.time()
-            for (part, r), vals in zip(pending, fetched):
-                g = len(part)
-                if isinstance(r, gap_dp_pallas.GapColsResult):
-                    dist, end, lead, colcode = vals  # colcode: (T, G)
-                    moves = gap_dp_pallas.decode_col_moves(
-                        colcode[:, :g], end[:g], lead[:g]
-                    )
+            for (kind, parts, _, gps), vals in zip(pending, fetched):
+                if kind == "colsx":
+                    dist_a, end_a, lead_a, colflat = vals
+                    ga = 0   # lane offset into dist/end/lead
+                    fo = 0   # element offset into the flat colcode
+                    for bparts, bgps, tp, width in parts:
+                        colcode = colflat[fo : fo + tp * width].reshape(
+                            tp, width
+                        )
+                        fo += tp * width
+                        off = ga
+                        for part, gp in zip(bparts, bgps):
+                            g = len(part)
+                            sl = slice(off, off + g)
+                            moves = gap_dp_pallas.decode_col_moves(
+                                colcode[:, off - ga : off - ga + g],
+                                end_a[sl], lead_a[sl]
+                            )
+                            for gi, (key, d) in enumerate(part):
+                                results[key] = (int(dist_a[off + gi]),
+                                                int(end_a[off + gi]),
+                                                moves[gi])
+                            off += gp
+                        ga += width
+                    continue
+                if kind == "cols":
+                    dist, end, lead, colcode = vals  # colcode: (tp, sumG)
+                    off = 0
+                    for part, gp in zip(parts, gps):
+                        g = len(part)
+                        sl = slice(off, off + g)
+                        moves = gap_dp_pallas.decode_col_moves(
+                            colcode[:, sl], end[sl], lead[sl]
+                        )
+                        for gi, (key, d) in enumerate(part):
+                            results[key] = (int(dist[off + gi]),
+                                            int(end[off + gi]), moves[gi])
+                        off += gp
                 else:
+                    (part,) = parts
+                    g = len(part)
                     dist, end, packed, _mlen = vals
                     moves = gap_dp.unpack_moves(packed[:g], _mlen[:g])
-                for gi, (key, d) in enumerate(part):
-                    results[key] = (int(dist[gi]), int(end[gi]), moves[gi])
+                    for gi, (key, d) in enumerate(part):
+                        results[key] = (int(dist[gi]), int(end[gi]),
+                                        moves[gi])
             self.metrics.timers["gap_unpack"] += time.time() - t_unpack
         return results
 
@@ -1102,19 +1268,21 @@ class MappingEngine:
 
             # window selection pre-pass: find chains exceeding the eager
             # transfer cap and fetch them all in one gather roundtrip
+            # selections[j] = (is_fine, [(ctx_id, row), ...])
             selections = {}
             overflow = []
             for j in range(len(idxs)):
                 is_fine, selected, over = self._select_rows(
                     j, out, rows_by_read
                 )
-                selections[j] = (is_fine, selected, 0)
+                selections[j] = (is_fine, [(0, k) for k in selected])
                 if over:
                     overflow.append(j)
 
             # per-read device context: 0 = normal run, 1 = 8x-budget
-            # retry, 2+ = solo 512-window retries for reads whose windows
-            # overflowed the shared K compact slots
+            # retry, 2+ = solo 512-window retries (and their candidate-
+            # rank pages) for reads whose windows overflowed the shared
+            # K compact slots
             ctxs = [(out, chains_dev)]
             if overflow:
                 self.metrics.add("compact_retry", len(overflow))
@@ -1129,24 +1297,60 @@ class MappingEngine:
                     is_fine, selected, over2 = self._select_rows(
                         j, out2, rows2
                     )
-                    selections[j] = (is_fine, selected, 1)
+                    selections[j] = (is_fine, [(1, k) for k in selected])
                     if over2:
                         # still no slots: run the read alone with a
                         # 512-window budget (solo row 0 in its context)
                         self.metrics.add("compact_solo", 1)
+                        codes_j = seq_to_codes(batch[j].seq)
+                        L_j = reads_dev.shape[1]
                         with self.metrics.timer("device"):
-                            out3, chains3 = self._solo_retry(
-                                seq_to_codes(batch[j].seq),
-                                reads_dev.shape[1],
-                            )
+                            out3, chains3 = self._solo_retry(codes_j,
+                                                             L_j)
                         rows3 = _rows_by_read(out3)
                         is_fine, selected, over3 = self._select_rows(
                             0, out3, rows3
                         )
                         ctxs.append((out3, chains3))
-                        selections[j] = (is_fine, selected,
-                                         len(ctxs) - 1)
-                        if over3:  # >512 qualifying windows: give up
+                        ci3 = len(ctxs) - 1
+                        selections[j] = (is_fine,
+                                         [(ci3, k) for k in selected])
+                        if over3 and is_fine:
+                            # >512 qualifying windows: page through the
+                            # further candidate-rank windows until a
+                            # page is unsaturated, then heap-select over
+                            # the union — the reference chains EVERY
+                            # qualifying window (src/LordFAST.cpp:874-904)
+                            pairs = [(ci3, k) for k in rows3.get(0, [])]
+                            sat, p = True, 1
+                            while sat and p < 64:
+                                self.metrics.add("compact_page", 1)
+                                with self.metrics.timer("device"):
+                                    outp, chainsp = self._solo_retry(
+                                        codes_j, L_j, page=p
+                                    )
+                                rowsp = _rows_by_read(outp)
+                                ctxs.append((outp, chainsp))
+                                cip = len(ctxs) - 1
+                                pairs += [(cip, k)
+                                          for k in rowsp.get(0, [])]
+                                sat = bool(outp["cand_sat"][0])
+                                p += 1
+                            if sat:  # >32k qualifying windows
+                                self.stats["compact_overflow"] = (
+                                    self.stats.get("compact_overflow",
+                                                   0) + 1
+                                )
+                                self.metrics.log(
+                                    1, "[WARNING] window paging hit the"
+                                       " 64-page cap; selection may be "
+                                       "truncated",
+                                )
+                            sel = self._fine_heap_select_multi(
+                                pairs, ctxs, cfg.max_map
+                            )
+                            selections[j] = (is_fine, sel)
+                        elif over3:
                             self.stats["compact_overflow"] = (
                                 self.stats.get("compact_overflow", 0) + 1
                             )
@@ -1159,10 +1363,10 @@ class MappingEngine:
             lazy = []
             ncap = out["chain_ql"].shape[1]
             for j in range(len(idxs)):
-                is_fine, selected, ci = selections[j]
-                if ci != 0:
-                    continue  # retry rows fetch directly (rare)
-                for k in selected:
+                is_fine, selected = selections[j]
+                for ci, k in selected:
+                    if ci != 0:
+                        continue  # retry rows fetch directly (rare)
                     n = int(out["chain_len"][k])
                     if n > ncap:
                         lazy.append((k, n))
@@ -1181,12 +1385,12 @@ class MappingEngine:
             for j, i in enumerate(idxs):
                 read = batch[j]
                 read_len = len(read.seq)
-                is_fine, selected, ci = selections[j]
-                out_j, chains_j = ctxs[ci]
-                wide_j = wide if ci == 0 else None
+                is_fine, selected = selections[j]
                 slots = []
                 fwd = rev = None
-                for k in selected:
+                for ci, k in selected:
+                    out_j, chains_j = ctxs[ci]
+                    wide_j = wide if ci == 0 else None
                     n = int(out_j["chain_len"][k])
                     if n <= 1:
                         slots.append(None)  # unmapped placeholder

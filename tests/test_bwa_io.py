@@ -18,8 +18,8 @@ BENCH = Path(__file__).parent.parent / ".bench_cache_big"
 
 
 @pytest.fixture(scope="module")
-def small_idx():
-    return build_index(DATA / "ref.fa", LordfastConfig(), verbose=False)
+def small_idx(ref12_idx):
+    return ref12_idx  # session-cached k=12 index (conftest.ref12_idx)
 
 
 def _assert_same(a, b, full_sa=False):
@@ -72,7 +72,7 @@ REF_BIN = Path(__file__).parent.parent / ".refbuild" / "lordfast"
 
 @pytest.mark.skipif(not REF_BIN.exists(),
                     reason="reference binary not built")
-def test_reference_binary_maps_from_exported_index(tmp_path):
+def test_reference_binary_maps_from_exported_index(tmp_path, ref12_idx):
     """Export our index in bwa format and have the REFERENCE binary map
     the fixture reads from it — output must equal the committed golden
     SAM the reference produced from its own index."""
@@ -81,8 +81,7 @@ def test_reference_binary_maps_from_exported_index(tmp_path):
 
     ref_fa = tmp_path / "ref.fa"
     shutil.copy(DATA / "ref.fa", ref_fa)
-    idx = build_index(ref_fa, LordfastConfig(), verbose=False)
-    save_bwa_index(idx, ref_fa)
+    save_bwa_index(ref12_idx, ref_fa)
     out_sam = tmp_path / "out.sam"
     r = subprocess.run(
         [str(REF_BIN), "--search", str(ref_fa), "--seq",

@@ -19,12 +19,8 @@ TEST_CFG = dict(
 
 
 @pytest.fixture(scope="module")
-def fixture_index():
-    from lordfast_tpu.config import LordfastConfig
-    from lordfast_tpu.index.builder import build_index
-
-    return build_index(DATA / "ref.fa", LordfastConfig(kmer_cache_k=8),
-                       verbose=False)
+def fixture_index(ref8_idx):
+    return ref8_idx  # session-shared k=8 index (conftest.ref8_idx)
 
 
 def _map_to_string(engine, seq_path):
