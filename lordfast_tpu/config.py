@@ -139,7 +139,10 @@ class LordfastConfig:
     # the final (4096, 4352) bucket (hierarchically-checkpointed tiled
     # kernel, CPT=8) covers every gap the bench/SV datasets produce —
     # gaps_host stays 0; anything even larger (a >4 kb unanchored
-    # region inside one window) still falls back to the host stitcher
+    # region inside one window) falls back to the host stitcher, whose
+    # nw_align is the banded edlib-exact path at O((d/64)*tl) with
+    # Hirschberg above 1 MB (native/edlib_path.cpp) — arbitrary sizes,
+    # like the reference
     # G sized so a typical 128-read batch needs 1-2 parts per bucket:
     # kernel-launch and fetch round-trips, not DP cells, dominate the
     # gap stage on tunneled backends (the Pallas grid tiles G internally

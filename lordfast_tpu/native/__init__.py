@@ -26,7 +26,8 @@ def _load():
     if _lib_tried:
         return _lib
     _lib_tried = True
-    srcs = [_DIR / "sais.cpp", _DIR / "align_eq.cpp", _DIR / "stitch.cpp"]
+    srcs = [_DIR / "sais.cpp", _DIR / "align_eq.cpp", _DIR / "stitch.cpp",
+            _DIR / "edlib_path.cpp"]
     try:
         if not _LIB_PATH.exists() or any(
             s.stat().st_mtime > _LIB_PATH.stat().st_mtime for s in srcs
@@ -56,6 +57,16 @@ def _load():
         lib.nw_align.restype = ctypes.c_int64
         lib.nw_align.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64,
                                  u8p, i64p]
+        lib.nw_align_full.restype = ctypes.c_int64
+        lib.nw_align_full.argtypes = lib.nw_align.argtypes
+        lib.edlib_band_path.restype = ctypes.c_int
+        lib.edlib_band_path.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
+            u8p, i64p,
+        ]
+        lib.edlib_nw_dist.restype = ctypes.c_int64
+        lib.edlib_nw_dist.argtypes = [u8p, ctypes.c_int64, u8p,
+                                      ctypes.c_int64]
         lib.shw_best_end.restype = ctypes.c_int64
         lib.shw_best_end.argtypes = [u8p, ctypes.c_int64, u8p,
                                      ctypes.c_int64, i64p]

@@ -50,13 +50,41 @@ constexpr uint8_t DEC_LEFT = 2;
 
 extern "C" {
 
+// Banded edlib-exact primitives (edlib_path.cpp in this library)
+int edlib_band_path(const uint8_t* q, int64_t ql, const uint8_t* t,
+                    int64_t tl, int64_t k, uint8_t* moves,
+                    int64_t* moves_len);
+int64_t edlib_nw_dist(const uint8_t* q, int64_t ql, const uint8_t* t,
+                      int64_t tl);
+
+int64_t nw_align_full(const uint8_t* q, int64_t ql, const uint8_t* t,
+                      int64_t tl, uint8_t* moves, int64_t* moves_len);
+
 // Global (NW) edit-distance alignment of q (length ql) vs t (length tl).
 // moves must have capacity ql + tl.  Returns edit distance (>= 0) or -1 on
 // allocation failure.  Move semantics: OP_INSERT consumes a query char,
 // OP_DELETE a target char (edlib convention; see edlibAlignmentToCigar,
 // edlib.cpp:224-273).
+//
+// Distance comes from the banded dynamic-k fill and the PATH from the
+// bit-exact edlib banded traceback (edlib_path.cpp) — so band-edge
+// equal-score tie moves match the reference byte-for-byte, at
+// O((d/64)*tl) instead of O(ql*tl).  nw_align_full (the original
+// unbanded DP, whose ties follow the same UP/LEFT/DIAG priority but
+// without edlib's band-availability masking) remains as the fallback
+// and as the independent cross-check oracle in tests.
 int64_t nw_align(const uint8_t* q, int64_t ql, const uint8_t* t, int64_t tl,
                  uint8_t* moves, int64_t* moves_len) {
+  if (ql > 0 && tl > 0) {
+    int64_t d = edlib_nw_dist(q, ql, t, tl);
+    if (d >= 0 && edlib_band_path(q, ql, t, tl, d, moves, moves_len) == 0)
+      return d;
+  }
+  return nw_align_full(q, ql, t, tl, moves, moves_len);
+}
+
+int64_t nw_align_full(const uint8_t* q, int64_t ql, const uint8_t* t,
+                      int64_t tl, uint8_t* moves, int64_t* moves_len) {
   if (ql == 0) {
     for (int64_t j = 0; j < tl; j++) moves[j] = OP_DELETE;
     *moves_len = tl;

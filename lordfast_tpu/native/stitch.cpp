@@ -18,6 +18,9 @@
 extern "C" {
 int64_t nw_align(const uint8_t* q, int64_t ql, const uint8_t* t, int64_t tl,
                  uint8_t* moves, int64_t* moves_len);
+int edlib_band_path(const uint8_t* q, int64_t ql, const uint8_t* t,
+                    int64_t tl, int64_t k, uint8_t* moves,
+                    int64_t* moves_len);
 int64_t shw_best_end(const uint8_t* q, int64_t ql, const uint8_t* t,
                      int64_t tl, int64_t* end_out);
 int32_t sw_extend(int32_t qlen, const uint8_t* query, int32_t tlen,
@@ -50,6 +53,26 @@ struct Ctx {
 void rc_into(const uint8_t* src, int64_t n, std::vector<uint8_t>& dst) {
   dst.resize(n);
   for (int64_t i = 0; i < n; i++) dst[i] = comp(src[n - 1 - i]);
+}
+
+// Path for a gap whose edit distance d is already known (device Myers
+// kernel): the edlib-exact banded traceback at O((d/64)*tl); the full
+// nw_align recompute only as a defensive fallback.
+int64_t path_known_dist(const uint8_t* q, int64_t ql, const uint8_t* t,
+                        int64_t tl, int64_t d, uint8_t* moves,
+                        int64_t* mlen) {
+  if (ql == 0) {
+    for (int64_t j = 0; j < tl; j++) moves[j] = OP_DELETE;
+    *mlen = tl;
+    return d;
+  }
+  if (tl == 0) {
+    for (int64_t i = 0; i < ql; i++) moves[i] = OP_INSERT;
+    *mlen = ql;
+    return d;
+  }
+  if (edlib_band_path(q, ql, t, tl, d, moves, mlen) == 0) return d;
+  return nw_align(q, ql, t, tl, moves, mlen);
 }
 
 // edlibCigar_pushback + edlibMD_pushback (src/LordFAST.cpp:1570-1665)
@@ -308,12 +331,16 @@ int32_t stitch_chain(
         if (!done) {
           edit_score -= d;
           // path: NW over t_rc[0..end] (empty when end = -1)
-          if (pre0) {
+          if (pre0 && pre_len[0] >= 0) {
             mlen = pre_len[0];
             std::memcpy(moves.data(), pre_moves + pre_off[0], mlen);
           } else if (end >= 0) {
-            nw_align(q_rc.data(), r_len, t_rc.data(), end + 1, moves.data(),
-                     &mlen);
+            if (pre0)  // dist/end provided, path computed banded-exact
+              path_known_dist(q_rc.data(), r_len, t_rc.data(), end + 1, d,
+                              moves.data(), &mlen);
+            else
+              nw_align(q_rc.data(), r_len, t_rc.data(), end + 1,
+                       moves.data(), &mlen);
           } else {
             mlen = r_len;
             std::fill(moves.begin(), moves.begin() + r_len, OP_INSERT);
@@ -351,8 +378,13 @@ int32_t stitch_chain(
       int64_t mlen, d;
       if (pre_has && pre_has[i + 1]) {
         d = pre_dist[i + 1];
-        mlen = pre_len[i + 1];
-        std::memcpy(moves.data(), pre_moves + pre_off[i + 1], mlen);
+        if (pre_len[i + 1] >= 0) {
+          mlen = pre_len[i + 1];
+          std::memcpy(moves.data(), pre_moves + pre_off[i + 1], mlen);
+        } else {  // dist only: banded-exact local path
+          path_known_dist(q_seq, r_len, t_seq, t_len, d, moves.data(),
+                          &mlen);
+        }
       } else {
         d = nw_align(q_seq, r_len, t_seq, t_len, moves.data(), &mlen);
       }
@@ -579,11 +611,15 @@ int32_t stitch_chain(
         }
         if (!done) {
           edit_score -= d;
-          if (pre_n) {
+          if (pre_n && pre_len[n] >= 0) {
             mlen = pre_len[n];
             std::memcpy(moves.data(), pre_moves + pre_off[n], mlen);
           } else if (end >= 0) {
-            nw_align(q_seq, r_len, t_seq, end + 1, moves.data(), &mlen);
+            if (pre_n)
+              path_known_dist(q_seq, r_len, t_seq, end + 1, d,
+                              moves.data(), &mlen);
+            else
+              nw_align(q_seq, r_len, t_seq, end + 1, moves.data(), &mlen);
           } else {
             mlen = r_len;
             std::fill(moves.begin(), moves.begin() + r_len, OP_INSERT);

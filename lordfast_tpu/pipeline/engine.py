@@ -543,9 +543,16 @@ class MappingEngine:
             self._dispatch_gap_descs(items, reads_dev)
         )
 
-    def _dispatch_gap_descs(self, items, reads_dev):
+    def _dispatch_gap_descs(self, items, reads_dev, want_moves=True):
         """Asynchronously dispatch the batched device Myers DP over
         arbitrary gap descriptors.
+
+        want_moves=False: fetch only (dist, end) per gap — the stitcher
+        reconstructs each PATH with the bit-exact edlib banded traceback
+        (native edlib_path.cpp) from the known distance, which both
+        closes the band-edge tie divergence the in-kernel unbanded
+        traceback had AND drops the per-column colcode transfer from the
+        device fetch.
 
         items: list of (key, desc) with desc = (row_j, q_start, q_len,
         q_rc, t_start, t_len, t_rc, is_shw) in forward-read-row / global
@@ -637,7 +644,13 @@ class MappingEngine:
                     dt = time.time() - t_d
                     self.metrics.timers["gap_compile"] += dt
                     t_pack += dt  # exclude compile from gap_pack
-                if isinstance(res, gap_dp_pallas.GapColsResult):
+                if not want_moves:
+                    # dist/end only (GapColsResult and GapResult both
+                    # carry .dist/.end)
+                    gp = 128 * ((len(part) + 127) // 128)
+                    gp = min(gp, G)
+                    bparts.append((part, res, gp, 0))
+                elif isinstance(res, gap_dp_pallas.GapColsResult):
                     # row/lane trim bounds: used lanes padded to a lane
                     # tile, rows to the part's deepest target
                     gp = 128 * ((len(part) + 127) // 128)
@@ -660,10 +673,23 @@ class MappingEngine:
                 tp = max(x[3] for x in bparts)
                 parts = [x[0] for x in bparts]
                 gps = [x[2] for x in bparts]
-                if len(bparts) == 1:
+                if not want_moves:
+                    if len(bparts) == 1:
+                        _, res, gp, _ = bparts[0]
+                        merged = (res.dist[:gp], res.end[:gp])
+                    else:
+                        merged = (
+                            jnp.concatenate(
+                                [r.dist[:gp] for _, r, gp, _ in bparts]),
+                            jnp.concatenate(
+                                [r.end[:gp] for _, r, gp, _ in bparts]),
+                        )
+                    pending.append(("dist", parts, merged, gps))
+                elif len(bparts) == 1:
                     _, res, gp, _ = bparts[0]
                     merged = (res.dist[:gp], res.end[:gp], res.lead[:gp],
                               res.colcode[:tp, :gp])
+                    pending.append(("cols", parts, merged, gps))
                 else:
                     merged = (
                         jnp.concatenate(
@@ -676,26 +702,40 @@ class MappingEngine:
                             [r.colcode[:tp, :gp]
                              for _, r, gp, _ in bparts], axis=1),
                     )
-                pending.append(("cols", parts, merged, gps))
+                    pending.append(("cols", parts, merged, gps))
 
-        # final cross-bucket merge: ONE (dist, end, lead, colcode-flat)
-        # quartet for the whole dispatch — the blocking collect then
-        # costs 4 fetch round-trips total instead of 4 per bucket
+        # final cross-bucket merge: ONE array set for the whole dispatch
+        # — the blocking collect then costs one fetch round-trip per
+        # array total instead of per bucket
         cols = [p for p in pending if p[0] == "cols"]
-        if len(cols) > 1:
+        dist_only = [p for p in pending if p[0] == "dist"]
+        rest = [p for p in pending if p[0] not in ("cols", "dist")]
+        if len(cols) > 1 or len(dist_only) > 1:
             import jax.numpy as jnp
 
-            plains = [p for p in pending if p[0] != "cols"]
-            meta = []  # (parts, gps, tp_rows, lane_width) per bucket
-            for _, parts, (d, e, ld, cc), gps in cols:
-                meta.append((parts, gps, cc.shape[0], cc.shape[1]))
-            merged = (
-                jnp.concatenate([m[2][0] for m in cols]),
-                jnp.concatenate([m[2][1] for m in cols]),
-                jnp.concatenate([m[2][2] for m in cols]),
-                jnp.concatenate([m[2][3].ravel() for m in cols]),
-            )
-            pending = [("colsx", meta, merged, None)] + plains
+            pending = list(rest)
+            if len(cols) == 1:
+                pending.append(cols[0])
+            elif cols:
+                meta = []  # (parts, gps, tp_rows, lane_width) per bucket
+                for _, parts, (d, e, ld, cc), gps in cols:
+                    meta.append((parts, gps, cc.shape[0], cc.shape[1]))
+                merged = (
+                    jnp.concatenate([m[2][0] for m in cols]),
+                    jnp.concatenate([m[2][1] for m in cols]),
+                    jnp.concatenate([m[2][2] for m in cols]),
+                    jnp.concatenate([m[2][3].ravel() for m in cols]),
+                )
+                pending.append(("colsx", meta, merged, None))
+            if len(dist_only) == 1:
+                pending.append(dist_only[0])
+            elif dist_only:
+                meta = [(parts, gps) for _, parts, _, gps in dist_only]
+                merged = (
+                    jnp.concatenate([m[2][0] for m in dist_only]),
+                    jnp.concatenate([m[2][1] for m in dist_only]),
+                )
+                pending.append(("distx", meta, merged, None))
 
         self.metrics.timers["gap_pack"] += time.time() - t_pack
         return pending
@@ -716,6 +756,26 @@ class MappingEngine:
             self.metrics.timers["gap_wait"] += time.time() - t_wait
             t_unpack = time.time()
             for (kind, parts, _, gps), vals in zip(pending, fetched):
+                if kind == "dist":
+                    dist_a, end_a = vals
+                    off = 0
+                    for part, gp in zip(parts, gps):
+                        for gi, (key, d) in enumerate(part):
+                            results[key] = (int(dist_a[off + gi]),
+                                            int(end_a[off + gi]), None)
+                        off += gp
+                    continue
+                if kind == "distx":
+                    dist_a, end_a = vals
+                    ga = 0
+                    for bparts, bgps in parts:
+                        for part, gp in zip(bparts, bgps):
+                            for gi, (key, d) in enumerate(part):
+                                results[key] = (int(dist_a[ga + gi]),
+                                                int(end_a[ga + gi]),
+                                                None)
+                            ga += gp
+                    continue
                 if kind == "colsx":
                     dist_a, end_a, lead_a, colflat = vals
                     ga = 0   # lane offset into dist/end/lead
@@ -781,7 +841,10 @@ class MappingEngine:
             for job_id, job in enumerate(jobs)
             for d in job["descs"]
         ]
-        return self._dispatch_gap_descs(items, reads_dev)
+        # dist/end only: the stitcher reconstructs each path with the
+        # bit-exact edlib banded traceback (native edlib_path.cpp)
+        return self._dispatch_gap_descs(items, reads_dev,
+                                        want_moves=False)
 
     def _collect_jobs_gaps(self, jobs, pending):
         results = self._collect_gap_descs(pending)
@@ -802,7 +865,9 @@ class MappingEngine:
             t["has"][slot] = 1
             t["dist"][slot] = dist
             t["end"][slot] = end
-            t["len"][slot] = len(moves)
+            # moves None = dist/end only; len -1 tells the stitcher to
+            # reconstruct the path locally (banded-exact, stitch.cpp)
+            t["len"][slot] = -1 if moves is None else len(moves)
             t["mv"][slot] = moves
 
         # concatenate per-job move buffers with offsets
@@ -813,7 +878,7 @@ class MappingEngine:
             bufs = []
             pos = 0
             for slot in range(ns):
-                if t["has"][slot]:
+                if t["has"][slot] and t["mv"][slot] is not None:
                     off[slot] = pos
                     bufs.append(t["mv"][slot])
                     pos += len(t["mv"][slot])
